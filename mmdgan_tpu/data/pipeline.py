@@ -1,0 +1,214 @@
+"""ReadTFRecords: the training input pipeline.
+
+Rebuild of ``input_func.py:721-965`` without a TensorFlow dependency:
+
+  parse tf.Example -> decode raw uint8 -> float32 -> x/127.5 - 1
+  -> reshape NHWC -> [skip] -> shuffle(buffer) -> batch -> repeat
+  (-> same-class batching via a per-class queue, the group_by_window
+   equivalent, input_func.py:905-916)
+
+Host-side threading: a background producer thread decodes and batches
+ahead (the reference used tf.data's num_parallel_calls; decoding raw
+uint8 is a single memcpy + cast here, so one producer with a prefetch
+queue saturates the pipeline). The optional native C++ record reader
+(mmdgan_tpu.data.native) accelerates record framing + proto parsing.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from random import shuffle as list_shuffle
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from mmdgan_tpu.data.tfrecord import TFRecordReader, parse_example
+
+
+def _resolve_filenames(filename, file_folder, file_repeat, shuffle_file):
+    if isinstance(filename, str):
+        names = [os.path.join(file_folder, filename + ".tfrecords")]
+    else:
+        names = [os.path.join(file_folder, f + ".tfrecords") for f in filename]
+    for f in names:
+        assert os.path.isfile(f), f"File {f} does not exist."
+    if file_repeat > 1:
+        names = names * int(file_repeat)
+    if shuffle_file:
+        list_shuffle(names)
+    return names
+
+
+class ReadTFRecords:
+    def __init__(
+        self,
+        filename: Union[str, Sequence[str]],
+        num_features: Optional[int] = None,
+        num_labels: int = 0,
+        batch_size: int = 64,
+        skip_count: int = 0,
+        file_repeat: int = 1,
+        num_epoch: Optional[int] = None,
+        file_folder: Optional[str] = None,
+        buffer_size: int = 10000,
+        shuffle_file: bool = False,
+        seed: Optional[int] = 0,
+        use_native: bool = True,
+    ):
+        """:param filename: base name(s); '.tfrecords' appended
+        (input_func.py:748-758)."""
+        if file_folder is None:
+            from mmdgan_tpu.config import get_config
+            file_folder = get_config().data_dir
+        self.filenames = _resolve_filenames(filename, file_folder, file_repeat, shuffle_file)
+        self.num_features = num_features
+        self.num_labels = num_labels
+        self.batch_size = batch_size
+        self.skip_count = skip_count
+        self.num_epoch = num_epoch
+        self.buffer_size = buffer_size
+        self.rng = np.random.RandomState(seed)
+        self.use_native = use_native
+        # image shaping (shape2image, input_func.py:826-868)
+        self._image_shape: Optional[tuple] = None
+        self.batch_shape = [batch_size, num_features]
+
+    def shape2image(self, channels: int, height: int, width: int, resize=None):
+        """Declare that x holds a C,H,W uint8 image; values scaled to
+        [-1, 1] and laid out NHWC (the reference reshapes to NCHW —
+        channels_first; TPU wants channels_last)."""
+        self._image_shape = (channels, height, width, tuple(resize) if resize else None)
+        self.batch_shape = [self.batch_size, height, width, channels]
+        return self
+
+    # ------------------------------------------------------------------
+    def _iter_raw(self) -> Iterator[Dict[str, np.ndarray]]:
+        """One pass over all files, yielding decoded examples."""
+        reader_cls = TFRecordReader
+        native = None
+        if self.use_native:
+            try:
+                from mmdgan_tpu.data.native import NativeRecordIterator
+                native = NativeRecordIterator
+            except Exception:
+                native = None
+        for path in self.filenames:
+            record_iter = native(path) if native is not None else reader_cls(path)
+            for record in record_iter:
+                yield self._decode(record)
+
+    def _decode(self, record: bytes) -> Dict[str, np.ndarray]:
+        ex = parse_example(record)
+        x = ex["x"]
+        if isinstance(x, (bytes, bytearray)):  # raw uint8 payload
+            x = np.frombuffer(x, np.uint8)
+        out = {"x": x}
+        if self.num_labels > 0:
+            y = ex.get("y")
+            if isinstance(y, (bytes, bytearray)):
+                y = np.frombuffer(y, np.uint8).astype(np.int32)
+            else:
+                y = np.asarray(y, np.int64).astype(np.int32)
+            out["y"] = y[: self.num_labels]
+        return out
+
+    def _shape_x(self, x: np.ndarray) -> np.ndarray:
+        """uint8 -> float32 in [-1,1]; reshape CHW -> NHWC
+        (input_func.py:826-868)."""
+        x = x.astype(np.float32)
+        if self._image_shape is not None:
+            c, h, w, resize = self._image_shape
+            x = x / 127.5 - 1.0
+            x = x.reshape(c, h, w).transpose(1, 2, 0)  # CHW -> HWC
+            if resize is not None:
+                try:
+                    from PIL import Image
+                    img = np.asarray(
+                        Image.fromarray(
+                            ((x + 1.0) * 127.5).astype(np.uint8)
+                        ).resize((resize[1], resize[0]), Image.BILINEAR),
+                        np.float32,
+                    )
+                    x = img / 127.5 - 1.0
+                except ImportError:
+                    raise RuntimeError("resize requires PIL")
+        elif self.num_features is not None:
+            x = x.reshape(self.num_features)
+        return x
+
+    # ------------------------------------------------------------------
+    def _sample_stream(self) -> Iterator[Dict[str, np.ndarray]]:
+        """skip -> shuffle-buffer -> repeat (scheduler, input_func.py:871-928)."""
+        epoch = 0
+        skipped = 0
+        buf: List[Dict[str, np.ndarray]] = []
+        while self.num_epoch is None or epoch < self.num_epoch:
+            for ex in self._iter_raw():
+                if skipped < self.skip_count:
+                    skipped += 1
+                    continue
+                if self.buffer_size > 1:
+                    buf.append(ex)
+                    if len(buf) >= self.buffer_size:
+                        idx = self.rng.randint(len(buf))
+                        buf[idx], buf[-1] = buf[-1], buf[idx]
+                        yield buf.pop()
+                else:
+                    yield ex
+            epoch += 1
+        # drain the buffer at end of finite epochs
+        self.rng.shuffle(buf)
+        yield from buf
+
+    def _batches(self, sample_same_class: bool) -> Iterator[Dict[str, np.ndarray]]:
+        stream = self._sample_stream()
+        if sample_same_class and self.num_labels > 0:
+            # group_by_window equivalent: queue per class, emit full batches
+            class_queues: Dict[int, list] = {}
+            for ex in stream:
+                cls = int(ex["y"][0])
+                q = class_queues.setdefault(cls, [])
+                q.append(ex)
+                if len(q) >= self.batch_size:
+                    yield self._stack(q[: self.batch_size])
+                    del q[: self.batch_size]
+        else:
+            batch = []
+            for ex in stream:
+                batch.append(ex)
+                if len(batch) == self.batch_size:
+                    yield self._stack(batch)
+                    batch = []
+
+    def _stack(self, examples) -> Dict[str, np.ndarray]:
+        xs = np.stack([self._shape_x(e["x"]) for e in examples])
+        out = {"x": xs}
+        if self.num_labels > 0:
+            out["y"] = np.stack([e["y"] for e in examples]).astype(np.int32)
+        else:
+            out["y"] = None
+        return out
+
+    def next_batch(
+        self, sample_same_class: bool = False, prefetch: int = 4
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterator of host batches with background prefetch."""
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for b in self._batches(sample_same_class):
+                    q.put(b)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item

@@ -326,7 +326,8 @@ class Layer:
             f"{self.layer_scope}: g(x) size {att_shape_g[:2]} does not match "
             f"h(x) size {att_shape_h[:2]}")
         att_shape = (att_shape_f[0], att_shape_f[1], att_shape_h[2])
-        att_shape = self._add_bn(att_shape, "BN_1", scale=False)
+        if self.design.get("act_nm") in ("bn", "BN", "cbn", "CBN"):
+            att_shape = self._add_bn(att_shape, "BN_1", scale=False)
         bound = [-1.0, 1.0] if self.design["w_nm"] == "s" else None
         att_shape = self._add_scalar_kernel(att_shape, "k_x", init_w_scale=0.0, bound=bound)
         assert tuple(input_shape) == tuple(att_shape), (

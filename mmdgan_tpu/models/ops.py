@@ -330,30 +330,33 @@ class ParametricOp:
         return 1.0 / sigma
 
     # ------------------------------------------------------------------
+    # Mixed precision: inputs/kernels cast to compute_dtype (bf16 on TPU,
+    # MXU accumulates in f32 internally), output cast back to f32. The
+    # casts are separate ops so AD pulls cotangents through cleanly.
     def _conv(self, x, w, strides, padding, dilation, feature_group_count=1):
         cd = self.compute_dtype
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x.astype(cd), w.astype(cd),
             window_strides=(strides, strides), padding=padding,
             rhs_dilation=(dilation, dilation) if dilation > 1 else None,
             dimension_numbers=_DIMSPEC,
             feature_group_count=feature_group_count,
-            preferred_element_type=jnp.float32,
         )
+        return y.astype(jnp.float32)
 
     def _conv_t(self, x, w, strides, padding, dilation):
         cd = self.compute_dtype
-        return jax.lax.conv_transpose(
+        y = jax.lax.conv_transpose(
             x.astype(cd), w.astype(cd),
             strides=(strides, strides), padding=padding,
             rhs_dilation=(dilation, dilation) if dilation > 1 else None,
             dimension_numbers=_DIMSPEC,
-            preferred_element_type=jnp.float32,
         )
+        return y.astype(jnp.float32)
 
     def _dense(self, x, w):
         cd = self.compute_dtype
-        return jnp.matmul(x.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
+        return jnp.matmul(x.astype(cd), w.astype(cd)).astype(jnp.float32)
 
     # ------------------------------------------------------------------
     def apply(

@@ -1,0 +1,99 @@
+"""Device mesh + sharding helpers for data-parallel MMD-GAN training.
+
+The reference's only distributed hook is in-graph multi-tower gradient
+averaging (``SynTower.average_grads``, graph_func.py:61-158, vestigial).
+The TPU-native equivalent (SURVEY.md §5) is one ``jax.sharding.Mesh`` over
+all chips with a single ``data`` axis:
+
+- parameters/optimizer/SN/BN state replicated (``P()``),
+- the image batch sharded over ``data`` (``P('data')``),
+- the train step written with *global-batch semantics* — XLA's SPMD
+  partitioner inserts the ICI collectives itself: gradient all-reduces,
+  the all-gather of the tiny [B, d] score matrices needed for the global
+  B x B MMD kernel (scores are ~64x16 floats, negligible ICI traffic),
+  and cross-replica batch-norm reductions.
+
+This gives exact single-device loss semantics (the global Gram matrix,
+not an average of per-shard MMDs) at data-parallel throughput.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jnp.ndarray
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
+    """A 1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+class DataParallel:
+    """Data-parallel wrapper: shard batches, replicate state, compile the
+    step once with the right shardings.
+
+    Usage::
+
+        dp = DataParallel()                       # all devices, axis 'data'
+        ts = dp.replicate(ts)
+        step = dp.compile_step(train_step)        # donates ts
+        for batch in data:
+            ts, metrics = step(ts, dp.shard_batch(batch), do_dis, do_gen)
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None, axis: str = "data"):
+        self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
+        self.axis = self.mesh.axis_names[0]
+        self.batch_sharding = NamedSharding(self.mesh, P(self.axis))
+        self.replicated = NamedSharding(self.mesh, P())
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.size
+
+    def shard_batch(self, batch):
+        """Shard dict/array leading (batch) axis over the data axis."""
+
+        def put(x):
+            if x is None:
+                return None
+            x = jnp.asarray(x)
+            assert x.shape[0] % self.mesh.size == 0, (
+                f"batch dim {x.shape[0]} not divisible by mesh size {self.mesh.size}"
+            )
+            return jax.device_put(x, self.batch_sharding)
+
+        return jax.tree.map(put, batch, is_leaf=lambda v: v is None)
+
+    def replicate(self, tree):
+        return jax.device_put(tree, self.replicated)
+
+    def compile_step(self, step_fn: Callable, donate_state: bool = True) -> Callable:
+        """jit the train step: state replicated (donated), batch sharded.
+
+        Output shardings are inferred by XLA; with replicated inputs and a
+        global-semantics step the new state comes back replicated.
+
+        Donation is disabled on the CPU backend: donating replicated
+        buffers deadlocks XLA CPU's in-process collective rendezvous
+        (observed: all-gather waits for 8 threads, one never arrives).
+        On TPU donation halves HBM held by the train state.
+        """
+        platform = self.mesh.devices.flat[0].platform
+        donate = donate_state and platform != "cpu"
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,) if donate else (),
+        )
+
+    def fully_replicated_value(self, x):
+        """Fetch a (replicated) device value to host."""
+        return jax.device_get(x)

@@ -1,0 +1,258 @@
+"""Agent: the training runtime (folders, loop, checkpoints, guards,
+summaries, profiling).
+
+Rebuild of the reference ``Agent`` + ``MySession``
+(``GeneralTools/graph_func.py:641-1219``) around the single jitted train
+step:
+
+- Orbax checkpointing of the full TrainState pytree (params, optimizer
+  moments, SN power vectors, BN stats, loss moving averages, step, rng) —
+  the exact variable coverage of tf.train.Saver in the reference
+  (max_to_keep=2, graph_func.py:708-717); save at the end of each run
+  chunk and on divergence (``abnormal_save``, :948-973).
+- Divergence guards: NaN assert and loss>30000 early-stop (:856, :962),
+  checked at host-sync points (every ``nan_check_step`` steps — the
+  reference synced every step by construction; we keep the device queue
+  deep for throughput and document the coarser guard granularity).
+- Imbalanced update schedules: None (both every step), a [dis, gen]
+  period list, or 'dynamic' probabilistic D updates (:876-942).
+- Profiling: ``jax.profiler.trace`` window over the last 5 steps when
+  ``do_trace`` (TimeLiner/chrome-trace equivalent, :578-603, :975-1141) —
+  view with TensorBoard or Perfetto.
+- ``debug_mode=None`` prints the model/op layout and returns without
+  running (the reference's graph-inspection mode, :1195-1204).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import warnings
+from typing import Callable, Dict, Iterable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmdgan_tpu.parallel.mesh import DataParallel
+from mmdgan_tpu.train.state import TrainState
+from mmdgan_tpu.utils.folders import prepare_folder
+from mmdgan_tpu.utils.summary import MetricWriter
+
+LOSS_DIVERGENCE_BOUND = 30000.0  # graph_func.py:962
+
+
+class Agent:
+    def __init__(
+        self,
+        filename: str,
+        sub_folder: str,
+        load_ckpt: bool = False,
+        do_trace: bool = False,
+        do_save: bool = True,
+        debug_mode: Optional[bool] = False,
+        debug_step: int = 400,
+        query_step: int = 1000,
+        imbalanced_update: Union[None, Sequence[int], str] = None,
+        print_loss: bool = True,
+        nan_check_step: int = 100,
+        output_dir: Optional[str] = None,
+        use_tensorboard: bool = True,
+        max_to_keep: int = 2,
+    ):
+        self.filename = filename
+        self.sub_folder = sub_folder
+        self.load_ckpt = load_ckpt
+        self.do_trace = do_trace
+        self.do_save = do_save
+        self.debug_mode = debug_mode
+        self.debug_step = debug_step
+        self.query_step = max(int(query_step), 1)
+        self.imbalanced_update = imbalanced_update
+        self.print_loss = print_loss
+        self.nan_check_step = max(int(nan_check_step), 1)
+        self.ckpt_folder, self.summary_folder, self.save_path = prepare_folder(
+            filename, sub_folder=sub_folder, set_folder=output_dir
+        )
+        self.writer = MetricWriter(self.summary_folder, use_tensorboard=use_tensorboard)
+        self._ckpt_mgr = None
+        self._max_to_keep = max_to_keep
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+    def _ckpt_manager(self):
+        if self._ckpt_mgr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(self.ckpt_folder),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self._max_to_keep, create=True
+                ),
+            )
+        return self._ckpt_mgr
+
+    def save(self, ts: TrainState, step: Optional[int] = None):
+        if not self.do_save:
+            return
+        import orbax.checkpoint as ocp
+
+        step = int(ts.step) if step is None else int(step)
+        mgr = self._ckpt_manager()
+        mgr.save(step, args=ocp.args.StandardSave(ts))
+        mgr.wait_until_finished()
+
+    def restore(self, ts: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of ``ts`` (latest step by default).
+        Returns ``ts`` unchanged if no checkpoint exists."""
+        import orbax.checkpoint as ocp
+
+        mgr = self._ckpt_manager()
+        target = step if step is not None else mgr.latest_step()
+        if target is None:
+            print(f"Agent: no checkpoint found in {self.ckpt_folder}; "
+                  "starting from scratch.")
+            return ts
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, ts)
+        restored = mgr.restore(target, args=ocp.args.StandardRestore(abstract))
+        print(f"Agent: restored checkpoint at step {target} from {self.ckpt_folder}.")
+        return restored
+
+    # ------------------------------------------------------------------
+    def _update_flags(self, global_step: int, mmd_average: float, rng: np.random.RandomState):
+        """Decide (do_dis, do_gen) for this step (graph_func.py:850-942).
+
+        The reference's op_list is [dis_op, gen_op] (my_sngan.py:426)."""
+        iu = self.imbalanced_update
+        if iu is None:
+            return True, True
+        if isinstance(iu, (list, tuple)):
+            return global_step % iu[0] == 0, global_step % iu[1] == 0
+        if iu == "dynamic":
+            # probabilistic D update (graph_func.py:916-919)
+            do_dis = (
+                global_step < 1000
+                or rng.uniform() < 0.1 / max(mmd_average, 0.1)
+            )
+            return bool(do_dis), True
+        raise ValueError("Imbalanced_update not identified.")
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        train_step: Callable,
+        ts: TrainState,
+        data_iter: Iterable[Dict],
+        max_step: int,
+        step_per_epoch: int,
+        dp: Optional[DataParallel] = None,
+        summary_image_fn: Optional[Callable] = None,
+        model_description: Optional[str] = None,
+        force_print: bool = False,
+    ) -> TrainState:
+        """Run the training loop; returns the final TrainState.
+
+        :param train_step: from ``build_train_step`` (uncompiled)
+        :param data_iter: yields host batches {'x': [B,H,W,C], 'y': ...}
+        :param dp: DataParallel context (defaults to all devices)
+        :param summary_image_fn: fn(ts) -> [N,H,W,C] images for the final
+            summary (my_sngan.py:459-463)
+        """
+        if self.debug_mode is None:
+            # graph-inspection mode (graph_func.py:1195-1204)
+            print(model_description or "Agent: debug_mode=None, nothing to run.")
+            return ts
+        if self.debug_mode:
+            max_step = min(max_step, self.debug_step)
+
+        dp = dp or DataParallel()
+        step_fn = dp.compile_step(train_step)
+        ts = dp.replicate(ts)
+        if self.load_ckpt:
+            ts = self.restore(ts)
+
+        host_rng = np.random.RandomState(int(jax.device_get(ts.step)) + 12345)
+        mmd_average = 0.0
+        pending = []  # (step, metrics) awaiting host sync
+        start = time.time()
+        trace_started = False
+        start_step = int(jax.device_get(ts.step))
+
+        data_it = iter(data_iter)
+        for local_step in range(max_step):
+            global_step = start_step + local_step
+            batch = dp.shard_batch(next(data_it))
+            do_dis, do_gen = self._update_flags(global_step, mmd_average, host_rng)
+
+            if (
+                self.do_trace
+                and not trace_started
+                and local_step == max_step - 5
+            ):
+                jax.profiler.start_trace(os.path.join(self.summary_folder, "trace"))
+                trace_started = True
+
+            ts, metrics = step_fn(
+                ts, batch, jnp.asarray(do_dis), jnp.asarray(do_gen)
+            )
+            pending.append((global_step + 1, metrics))
+
+            sync_now = (
+                (global_step + 1) % self.nan_check_step == 0
+                or (global_step + 1) % self.query_step == 0
+                or local_step == max_step - 1
+                or self.imbalanced_update == "dynamic"
+            )
+            if sync_now:
+                for s, m in pending[-1:]:
+                    vals = {k: float(v) for k, v in jax.device_get(m).items()}
+                    loss_vals = [vals["loss_gen"], vals["loss_dis"]]
+                    mmd_average = 0.99 * mmd_average + 0.01 * vals["loss_gen"]
+                    if any(np.isnan(loss_vals)):
+                        self._abnormal_save(ts, s, vals)
+                        raise FloatingPointError(
+                            f"Model diverged with loss = {loss_vals} at step {s}"
+                        )
+                    if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
+                        self._abnormal_save(ts, s, vals)
+                        warnings.warn("Training stopped early as loss diverged.")
+                        return ts
+                    if (s % self.query_step == 0) or local_step == max_step - 1:
+                        self.writer.scalars(s, vals)
+                        if self.print_loss or force_print:
+                            epoch = (s - 1) // max(step_per_epoch, 1)
+                            speed = (local_step + 1) / (time.time() - start)
+                            print(
+                                f"global step {s} epoch {epoch}: "
+                                f"loss_gen {vals['loss_gen']:.4f} "
+                                f"loss_dis {vals['loss_dis']:.4f} "
+                                f"({speed:.2f} steps/s)"
+                            )
+                pending.clear()
+
+        if trace_started:
+            jax.device_get(ts.step)  # drain the queue before stopping trace
+            jax.profiler.stop_trace()
+
+        # save model + final image summary at last step (graph_func.py:869-874)
+        final_step = int(jax.device_get(ts.step))
+        if self.do_save:
+            self.save(ts, final_step)
+        if summary_image_fn is not None:
+            imgs = np.asarray(jax.device_get(summary_image_fn(ts)))
+            self.writer.images(final_step, "Ig", imgs)
+        duration = time.time() - start
+        print(f"Training for {max_step} steps took {duration:.3f} sec "
+              f"({max_step / max(duration, 1e-9):.2f} steps/s).")
+        self.writer.flush()
+        return ts
+
+    def _abnormal_save(self, ts, step, vals):
+        """Checkpoint on divergence (graph_func.py:948-973)."""
+        if self.do_save:
+            try:
+                self.save(ts, step)
+            except Exception as e:  # keep the original error primary
+                warnings.warn(f"abnormal_save failed: {e}")
+        warnings.warn(f"Abnormal state at step {step}: {vals}")

@@ -7,8 +7,9 @@ before JAX initializes.
 
 import os
 
-# Force CPU for tests even if the shell exports a TPU platform: the test
-# suite exercises an 8-device virtual mesh, which needs the host platform.
+# Force CPU for tests even if the environment pre-registers a TPU platform
+# (the axon sitecustomize imports jax before conftest runs, so the env var
+# alone is not enough — set the config knob too, before any backend use).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,6 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,171 @@
+"""Data pipeline tests: TFRecord round-trip (incl. cross-check against
+TensorFlow's own reader/writer when available), pipeline semantics,
+converters, SimData."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmdgan_tpu.data import (
+    ReadTFRecords,
+    SimData,
+    TFRecordReader,
+    TFRecordWriter,
+    binary_image_to_tfrecords,
+    make_example,
+    np_to_tfrecords,
+    parse_example,
+    synthetic_image_batches,
+)
+
+
+def test_example_roundtrip():
+    feats = {"x": b"\x01\x02\x03\xff", "y": np.asarray([7], np.int64)}
+    buf = make_example(feats)
+    out = parse_example(buf)
+    assert out["x"] == b"\x01\x02\x03\xff"
+    np.testing.assert_array_equal(out["y"], [7])
+
+
+def test_example_float_list():
+    buf = make_example({"f": np.asarray([1.5, -2.25], np.float32)})
+    out = parse_example(buf)
+    np.testing.assert_allclose(out["f"], [1.5, -2.25])
+
+
+def test_tfrecord_file_roundtrip(tmp_path):
+    path = str(tmp_path / "t.tfrecords")
+    with TFRecordWriter(path) as w:
+        for i in range(10):
+            w.write_example({"x": bytes([i] * 4), "y": np.asarray([i], np.int64)})
+    records = list(TFRecordReader(path, verify_crc=True).examples())
+    assert len(records) == 10
+    assert records[3]["x"] == bytes([3] * 4)
+    np.testing.assert_array_equal(records[9]["y"], [9])
+
+
+def test_tf_compat(tmp_path):
+    """Our writer's files parse with TensorFlow, and vice versa."""
+    tf = pytest.importorskip("tensorflow")
+    path = str(tmp_path / "ours.tfrecords")
+    img = np.arange(12, dtype=np.uint8)
+    with TFRecordWriter(path) as w:
+        w.write_example({"x": img.tobytes(), "y": np.asarray([5], np.int64)})
+    # tf reads ours
+    raw = next(iter(tf.data.TFRecordDataset([path])))
+    ex = tf.io.parse_single_example(
+        raw, {"x": tf.io.FixedLenFeature([], tf.string),
+              "y": tf.io.FixedLenFeature([1], tf.int64)})
+    assert bytes(ex["x"].numpy()) == img.tobytes()
+    assert int(ex["y"].numpy()[0]) == 5
+    # we read tf's
+    path2 = str(tmp_path / "theirs.tfrecords")
+    with tf.io.TFRecordWriter(path2) as w:
+        e = tf.train.Example(features=tf.train.Features(feature={
+            "x": tf.train.Feature(bytes_list=tf.train.BytesList(value=[img.tobytes()])),
+            "y": tf.train.Feature(int64_list=tf.train.Int64List(value=[5])),
+        }))
+        w.write(e.SerializeToString())
+    ours = list(TFRecordReader(path2, verify_crc=True).examples())
+    assert ours[0]["x"] == img.tobytes()
+    np.testing.assert_array_equal(ours[0]["y"], [5])
+
+
+def _write_image_dataset(tmp_path, n=32, c=3, h=8, w=8, labels=True, name="img"):
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, size=(n, c, h, w), dtype=np.uint8).reshape(n, -1)
+    y = rng.randint(0, 4, size=n) if labels else None
+    np_to_tfrecords(x.reshape(n, c, h, w), y, str(tmp_path / name))
+    return x, y
+
+
+def test_pipeline_batches(tmp_path):
+    x, y = _write_image_dataset(tmp_path)
+    pipe = ReadTFRecords(
+        "img", num_labels=1, batch_size=8, file_folder=str(tmp_path),
+        buffer_size=1, use_native=False,
+    ).shape2image(3, 8, 8)
+    it = pipe.next_batch()
+    batch = next(it)
+    assert batch["x"].shape == (8, 8, 8, 3)
+    assert batch["x"].dtype == np.float32
+    assert batch["y"].shape == (8, 1)
+    # value scaling: x/127.5 - 1 in [-1, 1]
+    assert batch["x"].min() >= -1.0 and batch["x"].max() <= 1.0
+    # first sample content matches (buffer_size=1 -> in order), CHW->HWC
+    expect = x[0].reshape(3, 8, 8).transpose(1, 2, 0) / 127.5 - 1.0
+    np.testing.assert_allclose(batch["x"][0], expect.astype(np.float32), atol=1e-6)
+
+
+def test_pipeline_same_class_batching(tmp_path):
+    _write_image_dataset(tmp_path, n=64)
+    pipe = ReadTFRecords(
+        "img", num_labels=1, batch_size=4, file_folder=str(tmp_path),
+        buffer_size=1, use_native=False,
+    ).shape2image(3, 8, 8)
+    for i, batch in enumerate(pipe.next_batch(sample_same_class=True)):
+        assert (batch["y"] == batch["y"][0]).all()
+        if i > 5:
+            break
+
+
+def test_pipeline_repeat_and_skip(tmp_path):
+    _write_image_dataset(tmp_path, n=10, labels=False)
+    pipe = ReadTFRecords(
+        "img", batch_size=4, file_folder=str(tmp_path), buffer_size=1,
+        skip_count=2, num_epoch=2, use_native=False,
+    ).shape2image(3, 8, 8)
+    batches = list(pipe.next_batch())
+    # 2 epochs x 10 - 2 skipped = 18 -> 4 full batches
+    assert len(batches) == 4
+
+
+def test_binary_converter(tmp_path):
+    # CIFAR format: 1 label byte + 3072 image bytes per record
+    rng = np.random.RandomState(1)
+    n = 20
+    recs = np.zeros((n, 1 + 3 * 8 * 8), np.uint8)
+    recs[:, 0] = rng.randint(0, 10, n)
+    recs[:, 1:] = rng.randint(0, 256, (n, 3 * 8 * 8))
+    bin_path = str(tmp_path / "data.bin")
+    recs.tofile(bin_path)
+    binary_image_to_tfrecords(
+        [bin_path], str(tmp_path / "cifar_like"), n, (3, 8, 8), save_label=True
+    )
+    out = list(TFRecordReader(str(tmp_path / "cifar_like.tfrecords")).examples())
+    assert len(out) == n
+    assert out[0]["x"] == recs[0, 1:].tobytes()
+    assert int(out[0]["y"][0]) == int(recs[0, 0])
+
+
+def test_simdata_distributions():
+    for method in ("shell", "shell2", "star"):
+        sim = SimData(method, batch_size=256)
+        z = sim()
+        assert z.shape == (256, 2)
+        assert np.abs(z).max() <= 1.5
+        lp = sim.log_prob(z)
+        assert np.isfinite(lp).all()
+
+
+def test_simdata_normal_moments():
+    sim = SimData("normal", mu=[1.0, -1.0], std_or_cov=[0.5, 2.0], batch_size=20000)
+    z = sim()
+    np.testing.assert_allclose(z.mean(0), [1.0, -1.0], atol=0.06)
+    np.testing.assert_allclose(z.std(0), [0.5, 2.0], atol=0.06)
+
+
+def test_simdata_projection():
+    sim = SimData("normal", mu=[0.0, 0.0], std_or_cov=[1.0, 1.0],
+                  x_dof=10, z_dof=2, batch_size=64)
+    z = sim()
+    assert z.shape == (64, 10)
+
+
+def test_synthetic_batches():
+    it = synthetic_image_batches(4, 8, 8, 3, num_class=5)
+    b = next(it)
+    assert b["x"].shape == (4, 8, 8, 3)
+    assert b["y"].shape == (4, 1)
+    assert abs(b["x"]).max() <= 1.0

@@ -1,0 +1,170 @@
+"""Train-step tests: fused step semantics, imbalanced updates, 8-device
+data-parallel execution with global-batch MMD semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmdgan_tpu.models import SNGan
+from mmdgan_tpu.parallel import DataParallel, make_mesh
+from mmdgan_tpu.train import (
+    build_train_step,
+    init_train_state,
+    multi_opt_config,
+    opt_config,
+)
+
+TINY_ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(16, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [8, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 1, "act": "tanh"},
+    ],
+    "discriminator": [
+        {"name": "l1", "out": 8, "act": "lrelu", "act_k": 1.3, "w_nm": "s",
+         "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s"},
+    ],
+}
+
+B = 16
+
+
+def make_model(loss_type="rep"):
+    return SNGan(TINY_ARCH, num_class=0, loss_type=loss_type)
+
+
+def make_batch(rng, b=B):
+    return {"x": jnp.asarray(rng.randn(b, 8, 8, 1).astype(np.float32)), "y": None}
+
+
+def test_single_device_step_runs_and_updates(rng, key):
+    model = make_model()
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3], optimizer="adam")
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    batch = make_batch(rng)
+    t = jnp.asarray(True)
+    ts2, metrics = step(ts, batch, t, t)
+    assert int(ts2.step) == 1
+    assert np.isfinite(float(metrics["loss_gen"]))
+    # params changed
+    p0 = jax.tree.leaves(ts.params)[0]
+    p1 = jax.tree.leaves(ts2.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_loss_decreases_over_steps(rng, key):
+    """Sanity: D loss should move from its initial value within 30 steps."""
+    model = make_model()
+    opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    t = jnp.asarray(True)
+    first = None
+    for i in range(30):
+        ts, m = step(ts, make_batch(rng), t, t)
+        if first is None:
+            first = float(m["loss_dis"])
+    assert float(m["loss_dis"]) != first
+
+
+def test_imbalanced_update_freezes_params(rng, key):
+    model = make_model()
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    # gen off: gen params identical, dis params changed
+    ts2, _ = step(ts, make_batch(rng), jnp.asarray(True), jnp.asarray(False))
+    for a, b in zip(jax.tree.leaves(ts.params["gen"]), jax.tree.leaves(ts2.params["gen"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts.params["dis"]), jax.tree.leaves(ts2.params["dis"]))
+    )
+    assert changed
+    # SN/BN state still updates when gen is frozen (UPDATE_OPS semantics)
+    sn_before = ts.net_state["dis"]["dis/l1"]["kernel"]["sn_x"]
+    sn_after = ts2.net_state["dis"]["dis/l1"]["kernel"]["sn_x"]
+    assert not np.allclose(np.asarray(sn_before), np.asarray(sn_after))
+
+
+def test_sn_only_loss_types(rng, key):
+    for loss_type in ("rmb", "hinge"):
+        model = make_model(loss_type)
+        opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+        ts = init_train_state(model, key, opt_d, opt_g)
+        step = jax.jit(build_train_step(model, opt_d, opt_g))
+        ts, m = step(ts, make_batch(rng), jnp.asarray(True), jnp.asarray(True))
+        assert np.isfinite(float(m["loss_gen"])), loss_type
+
+
+def test_gradient_penalty_loss(rng, key):
+    model = make_model("rep_gp")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    ts, m = step(ts, make_batch(rng), jnp.asarray(True), jnp.asarray(True))
+    assert np.isfinite(float(m["loss_dis"]))
+
+
+def test_data_parallel_8_devices(rng, key):
+    """Step under an 8-device mesh; results must match single-device
+    (global-batch MMD semantics, not per-shard averages)."""
+    assert jax.device_count() >= 8, "conftest should provide 8 cpu devices"
+    model = make_model()
+    # SGD, not Adam: a bias whose MMD gradient is analytically zero gets
+    # roundoff-level gradients, which Adam's normalizer amplifies into
+    # sign-arbitrary updates — SGD keeps roundoff at roundoff so the
+    # single-device vs 8-device parity check is meaningful.
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step_fn = build_train_step(model, opt_d, opt_g)
+    batch = make_batch(rng)
+    t = jnp.asarray(True)
+
+    # single device result
+    ts1, m1 = jax.jit(step_fn)(ts, batch, t, t)
+
+    # 8-device data-parallel result
+    dp = DataParallel()
+    assert dp.num_devices == 8
+    ts_r = dp.replicate(ts)
+    sharded = dp.shard_batch(batch)
+    step_p = dp.compile_step(step_fn, donate_state=False)
+    ts8, m8 = step_p(ts_r, sharded, t, t)
+
+    np.testing.assert_allclose(
+        float(m1["loss_gen"]), float(m8["loss_gen"]), rtol=2e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m1["loss_dis"]), float(m8["loss_dis"]), rtol=2e-4, atol=1e-5
+    )
+    # params equal after one step
+    for a, b in zip(jax.tree.leaves(ts1.params), jax.tree.leaves(ts8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
+
+
+def test_opt_config_schedules():
+    import optax
+
+    for name in ("sgd", "momentum", "adam", "rmsprop"):
+        opt = opt_config(1e-3, optimizer=name)
+        assert isinstance(opt, optax.GradientTransformation)
+    with pytest.raises(ValueError):
+        opt_config(1e-3, optimizer="nope")
+
+
+def test_rng_advances(rng, key):
+    model = make_model()
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    t = jnp.asarray(True)
+    ts1, _ = step(ts, make_batch(rng), t, t)
+    assert not np.array_equal(np.asarray(ts.rng), np.asarray(ts1.rng))
