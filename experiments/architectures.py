@@ -1,0 +1,125 @@
+"""The four reference experiment architectures as functions of their
+hyper-parameters (my_test_{cifar,stl,celebA,lsun}.py architecture dicts).
+
+All dicts use the reference's channels-first input spec; the builder
+converts to NHWC internally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cifar_architecture(act_k: float = float(np.power(64.0, 0.125)), w_nm: str = "s"):
+    """my_test_cifar.py:12-38 — 32x32, code 128, DCGAN G (dense ->
+    3x tc k4 s2 bn relu -> conv tanh), 8-layer SN-lrelu D, d=16 scores."""
+    return {
+        "input": [(3, 32, 32)],
+        "code": [(128, "linear")],
+        "generator": [
+            {"name": "l1", "out": 512 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [512, 4, 4]},
+            {"name": "l2_up", "out": 256, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l3_up", "out": 128, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l4_up", "out": 64, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l5_t32", "out": 3, "act": "tanh"},
+        ],
+        "discriminator": [
+            {"name": "l1_f32", "out": 64, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l2_ds", "out": 128, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 128, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l4_ds", "out": 256, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l5", "out": 256, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l6_ds", "out": 512, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l7", "out": 512, "op": "c", "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "out_reshape": [4 * 4 * 512]},
+            {"name": "l8_s", "out": 16, "op": "d", "act_k": act_k,
+             "bias": "b", "w_nm": w_nm},
+        ],
+    }
+
+
+def stl_architecture(act_k: float = float(np.power(64.0, 0.125)), w_nm: str = "s"):
+    """my_test_stl.py — 48x48 STL-10; one extra up/down stage vs CIFAR."""
+    return {
+        "input": [(3, 48, 48)],
+        "code": [(128, "linear")],
+        "generator": [
+            {"name": "l1", "out": 512 * 6 * 6, "op": "d", "act": "relu",
+             "act_nm": "bn", "out_reshape": [512, 6, 6]},
+            {"name": "l2_up", "out": 256, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l3_up", "out": 128, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l4_up", "out": 64, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l5_t48", "out": 3, "act": "tanh"},
+        ],
+        "discriminator": [
+            {"name": "l1_f48", "out": 64, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l2_ds", "out": 128, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 128, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l4_ds", "out": 256, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l5", "out": 256, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l6_ds", "out": 512, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l7", "out": 512, "op": "c", "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "out_reshape": [6 * 6 * 512]},
+            {"name": "l8_s", "out": 16, "op": "d", "act_k": act_k, "w_nm": w_nm},
+        ],
+    }
+
+
+def celeba_architecture(act_k: float = float(np.power(64.0, 0.1)), w_nm: str = "s"):
+    """my_test_celebA.py:11-38 — 64x64 faces; 10-layer discriminator."""
+    return _arch_64(act_k, w_nm)
+
+
+def lsun_architecture(act_k: float = float(np.power(64.0, 0.1)), w_nm: str = "s"):
+    """my_test_lsun.py:11-39 — 64x64 LSUN bedrooms; same topology as celebA."""
+    return _arch_64(act_k, w_nm)
+
+
+def _arch_64(act_k: float, w_nm: str):
+    return {
+        "input": [(3, 64, 64)],
+        "code": [(128, "linear")],
+        "generator": [
+            {"name": "l1", "out": 1024 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [1024, 4, 4]},
+            {"name": "l2_up", "out": 512, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l3_up", "out": 256, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l4_up", "out": 128, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l5_up", "out": 64, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l6_t64", "out": 3, "act": "tanh"},
+        ],
+        "discriminator": [
+            {"name": "l1_f64", "out": 64, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l2_ds", "out": 128, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 128, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l4_ds", "out": 256, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l5", "out": 256, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l6_ds", "out": 512, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l7", "out": 512, "act": "lrelu", "act_k": act_k, "w_nm": w_nm},
+            {"name": "l8_ds", "out": 1024, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "kernel": 4, "strides": 2},
+            {"name": "l9", "out": 1024, "act": "lrelu", "act_k": act_k,
+             "w_nm": w_nm, "out_reshape": [1024 * 4 * 4]},
+            {"name": "l10_s", "out": 16, "op": "d", "act_k": act_k, "w_nm": w_nm},
+        ],
+    }

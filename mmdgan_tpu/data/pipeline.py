@@ -94,13 +94,24 @@ class ReadTFRecords:
                 native = NativeRecordIterator
             except Exception:
                 native = None
+        # size the native read buffer from the known record size
+        capacity = None
+        if self._image_shape is not None:
+            c, h, w, _ = self._image_shape
+            capacity = c * h * w + 256
+        elif self.num_features is not None:
+            capacity = self.num_features * 8 + 256
         for path in self.filenames:
-            record_iter = native(path) if native is not None else reader_cls(path)
+            if native is not None:
+                record_iter = native(path, capacity=capacity)
+            else:
+                record_iter = reader_cls(path)
             for record in record_iter:
                 yield self._decode(record)
 
-    def _decode(self, record: bytes) -> Dict[str, np.ndarray]:
-        ex = parse_example(record)
+    def _decode(self, record) -> Dict[str, np.ndarray]:
+        # the native iterator yields pre-decoded {'x': bytes, 'y': ...} dicts
+        ex = record if isinstance(record, dict) else parse_example(record)
         x = ex["x"]
         if isinstance(x, (bytes, bytearray)):  # raw uint8 payload
             x = np.frombuffer(x, np.uint8)

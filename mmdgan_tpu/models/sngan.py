@@ -320,3 +320,142 @@ class SNGan:
             "x_gen_abs_mean": jnp.mean(jnp.abs(gen_out["x"])),
         }
         return loss_gen, loss_dis, new_state, new_loss_state, aux
+
+    # ------------------------------------------------------------------
+    # evaluation (my_sngan.py:499-649)
+    # ------------------------------------------------------------------
+    def eval_sampling(
+        self,
+        params: Dict,
+        state: Dict,
+        filename: str,
+        sub_folder: str,
+        mesh_num: Tuple[int, int] = (10, 10),
+        mesh_mode=0,
+        code_x=None,
+        code_y=None,
+        real_batch: Optional[Dict] = None,
+        get_dis_score: bool = True,
+        do_sprite: bool = True,
+        do_embedding: bool = False,
+        if_invert: bool = False,
+        key=None,
+        output_dir: Optional[str] = None,
+        global_step: int = 0,
+    ):
+        """Generate a sample grid from MeshCode latents; write sprite PNG
+        and optional TB-projector embedding of the discriminator scores
+        (my_sngan.py:499-600). Returns a dict of produced file paths and
+        arrays."""
+        import jax as _jax
+
+        from mmdgan_tpu.ops.mesh_code import MeshCode
+        from mmdgan_tpu.utils.folders import prepare_folder
+        from mmdgan_tpu.utils.sprite import (
+            embedding_image_wrapper,
+            write_sprite_wrapper,
+        )
+
+        if key is None:
+            key = _jax.random.PRNGKey(0)
+        _, summary_folder, _ = prepare_folder(
+            filename, sub_folder=sub_folder, set_folder=output_dir)
+        batch_size = mesh_num[0] * mesh_num[1]
+        if code_x is None:
+            code_x = MeshCode(self.code_size, mesh_num=mesh_num).get_batch(
+                mesh_mode, key=key)
+        else:
+            assert code_x.shape[0] == batch_size
+        if code_y is None and self.sample_same_class and real_batch is not None:
+            code_y = real_batch.get("y")
+        code_batch = self.sample_codes(key, batch_size, code_x, code_y)
+        x_gen = self.generate(params, state, code_batch=code_batch)
+        out = {"x_gen": np.asarray(_jax.device_get(x_gen))}
+
+        s_x = s_gen = None
+        if get_dis_score and real_batch is not None:
+            dis_in = self.concat_two_batches(
+                real_batch, {"x": x_gen, "y": code_batch.get("y")})
+            scores = self.discriminate(params, state, dis_in)
+            s_x, s_gen = jnp.split(scores, 2, axis=0)
+            out["s_x"] = np.asarray(_jax.device_get(s_x))
+            out["s_gen"] = np.asarray(_jax.device_get(s_gen))
+
+        if do_sprite:
+            if real_batch is not None:
+                out["sprite_real"] = write_sprite_wrapper(
+                    np.asarray(_jax.device_get(real_batch["x"])), mesh_num,
+                    filename, file_folder=summary_folder,
+                    file_index=f"_r_{sub_folder}_{global_step}_{mesh_mode}",
+                    if_invert=if_invert)
+            out["sprite_gen"] = write_sprite_wrapper(
+                out["x_gen"], mesh_num, filename, file_folder=summary_folder,
+                file_index=f"_g_{sub_folder}_{global_step}_{mesh_mode}",
+                if_invert=if_invert)
+
+        if do_embedding and s_x is not None and real_batch is not None:
+            s_all = np.concatenate([out["s_x"], out["s_gen"]], axis=0)
+            x_all = np.concatenate(
+                [np.asarray(_jax.device_get(real_batch["x"])), out["x_gen"]], axis=0)
+            labels = np.concatenate(
+                [np.ones(batch_size, np.int64), np.zeros(batch_size, np.int64)])
+            out["embedding"] = embedding_image_wrapper(
+                s_all, filename, var_name="x_vs_xg", file_folder=summary_folder,
+                file_index=f"_x_vs_xg_{sub_folder}_{global_step}_{mesh_mode}",
+                labels=labels, images=x_all,
+                mesh_num=(mesh_num[0] * 2, mesh_num[1]), if_invert=if_invert)
+        return out
+
+    def mdl_score(
+        self,
+        params: Dict,
+        state: Dict,
+        real_batches,
+        batch_size: int = 64,
+        num_batch: int = 10,
+        model: str = "v1",
+        model_path: Optional[str] = None,
+        key=None,
+    ):
+        """IS/FID (or MS-SSIM) evaluation (my_sngan.py:602-649): draw
+        num_batch x batch_size samples and score them against real batches
+        with the metric classifier.
+
+        :param real_batches: iterator of host batches {'x': [B,H,W,C]}
+        :param model: 'v1' (IS+FID) or 'ms_ssim'
+        """
+        import jax as _jax
+
+        from mmdgan_tpu.metrics.scores import GenerativeModelMetric
+
+        if key is None:
+            key = _jax.random.PRNGKey(0)
+
+        def gen_stream():
+            k = key
+            while True:
+                k, sub = _jax.random.split(k)
+                yield np.asarray(_jax.device_get(
+                    self.generate(params, state, rng=sub, batch_size=batch_size)))
+
+        def real_stream():
+            for b in real_batches:
+                yield b["x"] if isinstance(b, dict) else b
+
+        if model == "v1":
+            metric = GenerativeModelMetric(model="v1", model_path=model_path)
+            return metric.inception_score_and_fid(
+                real_stream(), gen_stream(), num_batch=num_batch)
+        if model == "ms_ssim":
+            # pairwise within real and within generated (my_sngan.py:637-645)
+            def halves(stream):
+                for b in stream:
+                    yield b[: len(b) // 2], b[len(b) // 2:]
+            score_data = GenerativeModelMetric.ms_ssim_score(
+                (a for a, _ in halves(real_stream())),
+                (b for _, b in halves(real_stream())), num_batch=num_batch)
+            score_gen = GenerativeModelMetric.ms_ssim_score(
+                (a for a, _ in halves(gen_stream())),
+                (b for _, b in halves(gen_stream())), num_batch=num_batch)
+            return score_data, score_gen
+        raise NotImplementedError(f"Model {model} not implemented.")

@@ -76,16 +76,19 @@ class DataParallel:
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated)
 
-    def compile_step(self, step_fn: Callable, donate_state: bool = True) -> Callable:
-        """jit the train step: state replicated (donated), batch sharded.
+    def compile_step(self, step_fn: Callable, donate_state: bool = False) -> Callable:
+        """jit the train step: state replicated, batch sharded.
 
         Output shardings are inferred by XLA; with replicated inputs and a
         global-semantics step the new state comes back replicated.
 
-        Donation is disabled on the CPU backend: donating replicated
-        buffers deadlocks XLA CPU's in-process collective rendezvous
-        (observed: all-gather waits for 8 threads, one never arrives).
-        On TPU donation halves HBM held by the train state.
+        Donation (``donate_state=True``) halves the HBM held by the train
+        state but is OFF by default: donating replicated buffers deadlocks
+        XLA CPU's in-process collective rendezvous, and the tunneled TPU
+        backend used in development rejects donated executions with
+        INVALID_ARGUMENT. Enable it explicitly on hardware where it works;
+        the SNGAN train state is small (~tens of MB) so the default costs
+        little.
         """
         platform = self.mesh.devices.flat[0].platform
         donate = donate_state and platform != "cpu"

@@ -169,3 +169,48 @@ def test_synthetic_batches():
     assert b["x"].shape == (4, 8, 8, 3)
     assert b["y"].shape == (4, 1)
     assert abs(b["x"]).max() <= 1.0
+
+
+def test_native_reader_matches_python(tmp_path):
+    """Native C++ reader returns identical examples to the Python reader."""
+    pytest.importorskip("ctypes")
+    try:
+        from mmdgan_tpu.data.native import NativeRecordIterator, crc32c_native
+    except Exception as e:
+        pytest.skip(f"native lib unavailable: {e}")
+    from mmdgan_tpu.data.tfrecord import crc32c
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 256, size=(50, 3, 4, 4), dtype=np.uint8)
+    y = rng.randint(0, 5, size=50)
+    np_to_tfrecords(x, y, str(tmp_path / "n"))
+    path = str(tmp_path / "n.tfrecords")
+
+    py = list(TFRecordReader(path, verify_crc=True).examples())
+    nat = list(NativeRecordIterator(path, verify_crc=True, capacity=64))
+    assert len(py) == len(nat) == 50
+    for a, b in zip(py, nat):
+        assert a["x"] == b["x"]
+        assert int(a["y"][0]) == int(b["y"][0])
+
+    data = b"crc parity check" * 7
+    assert crc32c_native(data) == crc32c(data)
+
+
+def test_pipeline_native_equals_python(tmp_path):
+    try:
+        import mmdgan_tpu.data.native  # noqa: F401
+    except Exception as e:
+        pytest.skip(f"native lib unavailable: {e}")
+    _write_image_dataset(tmp_path, n=24)
+    batches = {}
+    for use_native in (False, True):
+        pipe = ReadTFRecords(
+            "img", num_labels=1, batch_size=8, file_folder=str(tmp_path),
+            buffer_size=1, use_native=use_native, num_epoch=1,
+        ).shape2image(3, 8, 8)
+        batches[use_native] = list(pipe.next_batch())
+    assert len(batches[False]) == len(batches[True])
+    for a, b in zip(batches[False], batches[True]):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["y"], b["y"])

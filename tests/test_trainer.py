@@ -1,0 +1,151 @@
+"""Agent runtime tests: train loop, checkpoint save/restore/resume,
+divergence guard, imbalanced schedules, metric logging."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmdgan_tpu.data import synthetic_image_batches
+from mmdgan_tpu.models import SNGan
+from mmdgan_tpu.parallel import DataParallel
+from mmdgan_tpu.train import (
+    Agent,
+    TrainState,
+    build_train_step,
+    init_train_state,
+    multi_opt_config,
+)
+
+ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(16, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [8, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 1, "act": "tanh"},
+    ],
+    "discriminator": [
+        {"name": "l1", "out": 8, "act": "lrelu", "act_k": 1.3, "w_nm": "s",
+         "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s"},
+    ],
+}
+
+
+def setup(key, loss="rep"):
+    model = SNGan(ARCH, loss_type=loss)
+    opt_d, opt_g = multi_opt_config([5e-4, 2e-4])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step_fn = build_train_step(model, opt_d, opt_g)
+    return model, ts, step_fn
+
+
+def test_agent_train_and_resume(tmp_path, key):
+    model, ts, step_fn = setup(key)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    agent = Agent("t", "run", load_ckpt=False, query_step=5, nan_check_step=5,
+                  output_dir=str(tmp_path), use_tensorboard=False)
+    dp = DataParallel()
+    ts = agent.train(step_fn, ts, data, max_step=10, step_per_epoch=100, dp=dp)
+    assert int(jax.device_get(ts.step)) == 10
+
+    # metrics were logged
+    jsonl = glob.glob(str(tmp_path / "t_log/run/metrics.jsonl"))[0]
+    recs = [json.loads(l) for l in open(jsonl)]
+    assert any(r["step"] == 10 for r in recs)
+
+    # resume from checkpoint with a fresh state
+    _, ts2, _ = setup(jax.random.PRNGKey(999))
+    agent2 = Agent("t", "run", load_ckpt=True, query_step=5,
+                   output_dir=str(tmp_path), use_tensorboard=False)
+    ts2 = agent2.train(step_fn, ts2, data, max_step=5, step_per_epoch=100, dp=dp)
+    assert int(jax.device_get(ts2.step)) == 15
+
+
+def test_agent_divergence_guard(tmp_path, key):
+    model, ts, step_fn = setup(key)
+
+    def nan_step(ts, batch, do_dis, do_gen):
+        new_ts, metrics = step_fn(ts, batch, do_dis, do_gen)
+        metrics["loss_gen"] = metrics["loss_gen"] * jnp.nan
+        return new_ts, metrics
+
+    agent = Agent("t", "nan", load_ckpt=False, nan_check_step=1, do_save=False,
+                  output_dir=str(tmp_path), use_tensorboard=False)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    with pytest.raises(FloatingPointError):
+        agent.train(nan_step, ts, data, max_step=3, step_per_epoch=10)
+
+
+def test_agent_imbalanced_list(tmp_path, key):
+    model, ts, step_fn = setup(key)
+    agent = Agent("t", "imb", load_ckpt=False, do_save=False,
+                  imbalanced_update=[1, 2], query_step=100,
+                  output_dir=str(tmp_path), use_tensorboard=False)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    ts2 = agent.train(step_fn, ts, data, max_step=4, step_per_epoch=10)
+    assert int(jax.device_get(ts2.step)) == 4
+
+
+def test_agent_dynamic_schedule(tmp_path, key):
+    model, ts, step_fn = setup(key)
+    agent = Agent("t", "dyn", load_ckpt=False, do_save=False,
+                  imbalanced_update="dynamic", query_step=100,
+                  output_dir=str(tmp_path), use_tensorboard=False)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    ts2 = agent.train(step_fn, ts, data, max_step=4, step_per_epoch=10)
+    assert int(jax.device_get(ts2.step)) == 4
+
+
+def test_agent_debug_modes(tmp_path, key):
+    model, ts, step_fn = setup(key)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    # debug_mode=None: print-only, state untouched
+    agent = Agent("t", "dbg", debug_mode=None, do_save=False,
+                  output_dir=str(tmp_path), use_tensorboard=False)
+    ts2 = agent.train(step_fn, ts, data, max_step=100, step_per_epoch=10,
+                      model_description="model layout")
+    assert int(jax.device_get(ts2.step)) == 0
+    # debug_mode=True: capped at debug_step
+    agent = Agent("t", "dbg2", debug_mode=True, debug_step=3, do_save=False,
+                  output_dir=str(tmp_path), use_tensorboard=False)
+    ts3 = agent.train(step_fn, ts, data, max_step=100, step_per_epoch=10)
+    assert int(jax.device_get(ts3.step)) == 3
+
+
+def test_eval_sampling_outputs(tmp_path, key):
+    model, ts, _ = setup(key)
+    host = jax.device_get(ts)
+    real = {"x": jnp.asarray(np.random.RandomState(0).randn(6, 8, 8, 1),
+                             jnp.float32), "y": None}
+    out = model.eval_sampling(
+        host.params, host.net_state, "t", "ev", mesh_num=(2, 3),
+        real_batch=real, do_sprite=True, do_embedding=True,
+        output_dir=str(tmp_path), key=key)
+    assert out["x_gen"].shape == (6, 8, 8, 1)
+    assert os.path.isfile(out["sprite_gen"])
+    assert os.path.isfile(out["embedding"])
+    assert out["s_x"].shape == (6, 4)
+
+
+def test_mdl_score_with_random_classifier(tmp_path, key, monkeypatch):
+    model, ts, _ = setup(key)
+    host = jax.device_get(ts)
+
+    def real_batches():
+        rng = np.random.RandomState(0)
+        while True:
+            yield {"x": rng.randn(8, 8, 8, 1).astype(np.float32), "y": None}
+
+    scores = model.mdl_score(
+        host.params, host.net_state, real_batches(), batch_size=8,
+        num_batch=2, model="v1", key=key)
+    assert len(scores) == 4
+    assert all(np.isfinite(s) for s in scores)
