@@ -43,40 +43,93 @@ def _to_rgb(images: np.ndarray) -> np.ndarray:
     return np.repeat(images.mean(axis=-1, keepdims=True), 3, axis=-1)
 
 
+def resize_bilinear_tf1(x, size: Tuple[int, int]):
+    """TF1 ``tf.image.resize_bilinear(align_corners=False)`` semantics —
+    the resize the reference applies before inception
+    (graph_func.py:1649-1651). Legacy TF1 samples source coordinates at
+    ``i * in/out`` (no half-pixel offset), unlike jax.image.resize.
+    Pure JAX, jittable; x is NHWC."""
+    import jax.numpy as jnp
+
+    n, h, w, c = x.shape
+    out_h, out_w = size
+    scale_h = h / out_h
+    scale_w = w / out_w
+    ys = jnp.arange(out_h, dtype=jnp.float32) * scale_h
+    xs = jnp.arange(out_w, dtype=jnp.float32) * scale_w
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 class FrozenGraphClassifier:
-    """Run the reference frozen inception graph via TF on host CPU."""
+    """Run the reference frozen inception graph.
 
-    def __init__(self, pb_path: str):
-        import tensorflow as tf
+    backend='jax' (default): the GraphDef executes as pure XLA via
+    :class:`mmdgan_tpu.metrics.tf_graph_jax.GraphDefModule` — batched
+    TPU-resident inference (the BASELINE north-star), with TF1-legacy
+    bilinear resize for exact preprocessing parity.
+    backend='tf': execute through TensorFlow on host CPU (the reference's
+    own execution engine; useful for cross-checking).
+    """
 
-        with open(pb_path, "rb") as f:
-            graph_def = tf.compat.v1.GraphDef()
-            graph_def.ParseFromString(f.read())
-        self._tf = tf
+    def __init__(self, pb_path: str, backend: str = "jax",
+                 input_tensor: str = "Mul:0",
+                 output_tensors: Tuple[str, str] = ("logits:0", "pool_3:0")):
+        self.backend = backend
+        self.input_tensor = input_tensor
+        self.output_tensors = tuple(output_tensors)
+        if backend == "jax":
+            import jax
 
-        def _run(images):
-            logits, pool3 = tf.graph_util.import_graph_def(
-                graph_def,
-                input_map={"Mul:0": images},
-                return_elements=["logits:0", "pool_3:0"],
-            )
-            return tf.squeeze(logits), tf.squeeze(pool3)
+            from mmdgan_tpu.metrics.tf_graph_jax import GraphDefModule
 
-        self._fn = tf.function(_run)
+            mod = GraphDefModule(pb_path, [input_tensor], list(output_tensors))
+
+            def run(images):
+                if images.shape[1] != IMAGE_SIZE:
+                    images = resize_bilinear_tf1(images, (IMAGE_SIZE, IMAGE_SIZE))
+                logits, pool3 = mod(images)
+                return logits, pool3
+
+            self._fn = jax.jit(run)
+        elif backend == "tf":
+            import tensorflow as tf
+
+            with open(pb_path, "rb") as f:
+                graph_def = tf.compat.v1.GraphDef()
+                graph_def.ParseFromString(f.read())
+            self._tf = tf
+
+            def _run(images):
+                if images.shape[1] != IMAGE_SIZE:
+                    images = tf.compat.v1.image.resize_bilinear(
+                        images, [IMAGE_SIZE, IMAGE_SIZE])
+                logits, pool3 = tf.graph_util.import_graph_def(
+                    graph_def,
+                    input_map={input_tensor: images},
+                    return_elements=list(output_tensors),
+                )
+                return tf.squeeze(logits), tf.squeeze(pool3)
+
+            self._fn = tf.function(_run)
+        else:
+            raise ValueError(f"backend {backend} not supported")
 
     def __call__(self, images: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        tf = self._tf
         logits_all, pool_all = [], []
         images = _to_rgb(np.asarray(images, np.float32))
         for i in range(0, len(images), CHUNK):
-            chunk = tf.constant(images[i:i + CHUNK], tf.float32)
-            if chunk.shape[1] != IMAGE_SIZE:
-                chunk = tf.image.resize(
-                    chunk, [IMAGE_SIZE, IMAGE_SIZE], method="bilinear"
-                )
+            chunk = images[i:i + CHUNK]
             logits, pool3 = self._fn(chunk)
-            logits_all.append(logits.numpy().reshape(len(images[i:i + CHUNK]), -1))
-            pool_all.append(pool3.numpy().reshape(len(images[i:i + CHUNK]), -1))
+            logits_all.append(np.asarray(logits).reshape(len(chunk), -1))
+            pool_all.append(np.asarray(pool3).reshape(len(chunk), -1))
         return np.concatenate(logits_all), np.concatenate(pool_all)
 
 

@@ -1,0 +1,329 @@
+"""GraphDef -> JAX executor: run frozen TensorFlow graphs as pure XLA.
+
+The reference computes IS/FID by running the frozen
+``inception_v1_2015_12_05`` graph through a TF session
+(graph_func.py:1616-1705). The TPU-native equivalent (BASELINE.json
+north-star: "metrics run inception_v1 as batched XLA inference") is this
+module: the GraphDef protobuf is parsed ONCE on the host (TensorFlow is
+used only to deserialize the proto and extract constant tensors), then the
+graph executes as a pure jittable JAX function — batchable, shardable,
+TPU-resident.
+
+Supported op set covers the classic frozen inception graphs and similar
+frozen CNN classifiers: Const, Placeholder, Identity, CheckNumerics,
+Conv2D, DepthwiseConv2dNative, BiasAdd, Relu, Relu6, Softmax, MatMul,
+MaxPool, AvgPool, Concat/ConcatV2, Reshape, Squeeze, Shape, Mean, Add(V2),
+Sub, Mul, RealDiv, Maximum, Minimum, Rsqrt, Sqrt, Square, Pad,
+BatchNormWithGlobalNormalization, FusedBatchNorm(V2/V3), Cast, ExpandDims,
+StridedSlice (static), Pack, ResizeBilinear.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+Array = Any
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def _split_name(tensor_name: str) -> Tuple[str, int]:
+    if ":" in tensor_name:
+        name, idx = tensor_name.rsplit(":", 1)
+        return name, int(idx)
+    return tensor_name, 0
+
+
+class GraphDefModule:
+    """Compile a frozen GraphDef into a pure JAX callable.
+
+    :param graph_def: path to a .pb file, serialized bytes, or a parsed
+        GraphDef proto.
+    :param inputs: list of input tensor names (e.g. ['Mul:0']).
+    :param outputs: list of output tensor names (e.g. ['logits:0',
+        'pool_3:0']).
+
+    Usage::
+
+        mod = GraphDefModule(pb_path, ['Mul:0'], ['logits:0', 'pool_3:0'])
+        logits, pool3 = jax.jit(mod)(images_nhwc)
+    """
+
+    def __init__(self, graph_def, inputs: Sequence[str], outputs: Sequence[str]):
+        import tensorflow as tf  # proto parsing only
+
+        if isinstance(graph_def, (str, bytes)):
+            gd = tf.compat.v1.GraphDef()
+            if isinstance(graph_def, str):
+                with open(graph_def, "rb") as f:
+                    gd.ParseFromString(f.read())
+            else:
+                gd.ParseFromString(graph_def)
+            graph_def = gd
+
+        self.input_names = [_split_name(n)[0] for n in inputs]
+        self.output_refs = [_split_name(n) for n in outputs]
+        self.nodes: Dict[str, Any] = {}
+        self.consts: Dict[str, np.ndarray] = {}
+        for node in graph_def.node:
+            self.nodes[node.name] = node
+            if node.op == "Const":
+                self.consts[node.name] = np.asarray(
+                    tf.make_ndarray(node.attr["value"].tensor))
+        # resolve the execution order for the requested outputs
+        self._order = self._toposort()
+
+    # ------------------------------------------------------------------
+    def _deps(self, node) -> List[str]:
+        out = []
+        for inp in node.input:
+            if inp.startswith("^"):  # control dependency — ignored
+                continue
+            out.append(_split_name(inp)[0])
+        return out
+
+    def _toposort(self) -> List[str]:
+        order: List[str] = []
+        seen: Dict[str, int] = {}  # 0=visiting, 1=done
+
+        def visit(name):
+            state = seen.get(name)
+            if state == 1:
+                return
+            if state == 0:
+                raise ValueError(f"cycle at {name}")
+            seen[name] = 0
+            if name not in self.nodes:
+                raise KeyError(f"graph references unknown node {name}")
+            if name not in self.input_names:
+                for dep in self._deps(self.nodes[name]):
+                    visit(dep)
+            seen[name] = 1
+            order.append(name)
+
+        for name, _ in self.output_refs:
+            visit(name)
+        return order
+
+    # ------------------------------------------------------------------
+    def __call__(self, *args):
+        import jax
+        import jax.numpy as jnp
+
+        values: Dict[str, Tuple] = {}
+        for name, arg in zip(self.input_names, args):
+            values[name] = (jnp.asarray(arg),)
+
+        for name in self._order:
+            if name in values:
+                continue
+            node = self.nodes[name]
+            values[name] = self._exec(node, values)
+
+        return tuple(values[name][idx] for name, idx in self.output_refs)
+
+    # ------------------------------------------------------------------
+    def _get(self, values, ref: str):
+        name, idx = _split_name(ref)
+        return values[name][idx]
+
+    def _static(self, ref: str, values) -> np.ndarray:
+        """Evaluate a structural operand (axis, shape, paddings, ...) on
+        the host. Under jit every in-graph value is a tracer, so operands
+        that must be Python ints are folded from the GraphDef instead:
+        Const/Identity chains, Shape of statically-shaped tensors, and
+        small integer arithmetic."""
+        name, idx = _split_name(ref)
+        node = self.nodes[name]
+        op = node.op
+        if op == "Const":
+            return self.consts[name]
+        raw = [i for i in node.input if not i.startswith("^")]
+        if op in ("Identity", "CheckNumerics"):
+            return self._static(raw[0], values)
+        if op == "Shape":
+            src = self._get(values, raw[0])
+            return np.asarray(src.shape, np.int32)
+        if op == "Pack":
+            return np.stack([self._static(r, values) for r in raw],
+                            axis=node.attr["axis"].i)
+        if op == "StridedSlice":
+            x = self._static(raw[0], values)
+            b = self._static(raw[1], values)
+            e = self._static(raw[2], values)
+            s = self._static(raw[3], values)
+            sl = tuple(slice(int(bb), int(ee), int(ss)) for bb, ee, ss in zip(b, e, s))
+            return x[sl]
+        if op in ("Add", "AddV2"):
+            return self._static(raw[0], values) + self._static(raw[1], values)
+        if op == "Sub":
+            return self._static(raw[0], values) - self._static(raw[1], values)
+        if op == "Mul":
+            return self._static(raw[0], values) * self._static(raw[1], values)
+        if op == "Cast":
+            return self._static(raw[0], values)
+        # fall back: works when the value is concrete (eager execution)
+        return np.asarray(self._get(values, ref))
+
+    def _attr_list(self, node, key):
+        return list(node.attr[key].list.i)
+
+    def _padding(self, node) -> str:
+        return node.attr["padding"].s.decode()
+
+    def _exec(self, node, values) -> Tuple:
+        import jax
+        import jax.numpy as jnp
+
+        op = node.op
+        raw = [i for i in node.input if not i.startswith("^")]
+        inp = [self._get(values, i) for i in raw]
+
+        if op == "Const":
+            return (jnp.asarray(self.consts[node.name]),)
+        if op in ("Identity", "CheckNumerics", "StopGradient", "PreventGradient"):
+            return (inp[0],)
+        if op == "Placeholder":
+            raise ValueError(
+                f"Placeholder {node.name} was not provided as an input")
+        if op == "Conv2D":
+            strides = self._attr_list(node, "strides")
+            return (jax.lax.conv_general_dilated(
+                inp[0], inp[1], window_strides=tuple(strides[1:3]),
+                padding=self._padding(node), dimension_numbers=_DIMSPEC),)
+        if op == "DepthwiseConv2dNative":
+            strides = self._attr_list(node, "strides")
+            w = inp[1]  # [kh, kw, C, mult]
+            kh, kw, c, mult = w.shape
+            w = jnp.transpose(w, (0, 1, 3, 2)).reshape(kh, kw, 1, c * mult)
+            return (jax.lax.conv_general_dilated(
+                inp[0], w, window_strides=tuple(strides[1:3]),
+                padding=self._padding(node), dimension_numbers=_DIMSPEC,
+                feature_group_count=c),)
+        if op == "BiasAdd":
+            return (inp[0] + inp[1],)
+        if op == "Relu":
+            return (jax.nn.relu(inp[0]),)
+        if op == "Relu6":
+            return (jnp.clip(inp[0], 0.0, 6.0),)
+        if op == "Softmax":
+            return (jax.nn.softmax(inp[0], axis=-1),)
+        if op == "MatMul":
+            a, b = inp
+            if node.attr["transpose_a"].b:
+                a = a.T
+            if node.attr["transpose_b"].b:
+                b = b.T
+            return (a @ b,)
+        if op in ("MaxPool", "AvgPool"):
+            ksize = self._attr_list(node, "ksize")
+            strides = self._attr_list(node, "strides")
+            pad = self._padding(node)
+            if op == "MaxPool":
+                return (jax.lax.reduce_window(
+                    inp[0], -jnp.inf, jax.lax.max, tuple(ksize), tuple(strides),
+                    pad),)
+            summed = jax.lax.reduce_window(
+                inp[0], 0.0, jax.lax.add, tuple(ksize), tuple(strides), pad)
+            if pad == "VALID":
+                return (summed / float(ksize[1] * ksize[2]),)
+            ones = jnp.ones_like(inp[0])
+            counts = jax.lax.reduce_window(
+                ones, 0.0, jax.lax.add, tuple(ksize), tuple(strides), pad)
+            return (summed / counts,)
+        if op == "Concat":  # dim is input 0
+            dim = int(self._static(raw[0], values))
+            return (jnp.concatenate(inp[1:], axis=dim),)
+        if op == "ConcatV2":  # axis is last input
+            axis = int(self._static(raw[-1], values))
+            return (jnp.concatenate(inp[:-1], axis=axis),)
+        if op == "Reshape":
+            shape = [int(v) for v in self._static(raw[1], values)]
+            return (inp[0].reshape(shape),)
+        if op == "Squeeze":
+            dims = self._attr_list(node, "squeeze_dims")
+            if dims:
+                return (jnp.squeeze(inp[0], axis=tuple(dims)),)
+            return (jnp.squeeze(inp[0]),)
+        if op == "Shape":
+            return (jnp.asarray(inp[0].shape, jnp.int32),)
+        if op == "Mean":
+            axes = tuple(int(v) for v in np.atleast_1d(self._static(raw[1], values)))
+            keep = node.attr["keep_dims"].b
+            return (jnp.mean(inp[0], axis=axes, keepdims=keep),)
+        if op in ("Add", "AddV2"):
+            return (inp[0] + inp[1],)
+        if op == "Sub":
+            return (inp[0] - inp[1],)
+        if op == "Mul":
+            return (inp[0] * inp[1],)
+        if op == "RealDiv":
+            return (inp[0] / inp[1],)
+        if op == "Maximum":
+            return (jnp.maximum(inp[0], inp[1]),)
+        if op == "Minimum":
+            return (jnp.minimum(inp[0], inp[1]),)
+        if op == "Rsqrt":
+            return (jax.lax.rsqrt(inp[0]),)
+        if op == "Sqrt":
+            return (jnp.sqrt(inp[0]),)
+        if op == "Square":
+            return (jnp.square(inp[0]),)
+        if op == "Pad":
+            pads = self._static(raw[1], values)
+            cfg = [(int(a), int(b)) for a, b in pads]
+            return (jnp.pad(inp[0], cfg),)
+        if op == "BatchNormWithGlobalNormalization":
+            t, m, v, beta, gamma = inp
+            eps = node.attr["variance_epsilon"].f
+            scale_after = node.attr["scale_after_normalization"].b
+            inv = jax.lax.rsqrt(v + eps)
+            if scale_after:
+                inv = inv * gamma
+            return (t * inv + (beta - m * inv),)
+        if op in ("FusedBatchNorm", "FusedBatchNormV2", "FusedBatchNormV3"):
+            t, gamma, beta, mean, var = inp
+            eps = node.attr["epsilon"].f
+            inv = jax.lax.rsqrt(var + eps) * gamma
+            out = t * inv + (beta - mean * inv)
+            return (out, mean, var, mean, var, mean)  # aux outputs unused
+        if op == "Cast":
+            # DstT attr carries the tf dtype enum; map the common ones
+            dst = node.attr["DstT"].type
+            dtype = {1: jnp.float32, 3: jnp.int32, 9: jnp.int64,
+                     10: jnp.bool_, 14: jnp.bfloat16}.get(dst, jnp.float32)
+            return (inp[0].astype(dtype),)
+        if op == "ExpandDims":
+            axis = int(self._static(raw[1], values))
+            return (jnp.expand_dims(inp[0], axis),)
+        if op == "Pack":
+            axis = node.attr["axis"].i
+            return (jnp.stack(inp, axis=axis),)
+        if op == "StridedSlice":
+            # static begin/end/strides only (sufficient for frozen graphs)
+            begin = [int(v) for v in self._static(raw[1], values)]
+            end = [int(v) for v in self._static(raw[2], values)]
+            strides = [int(v) for v in self._static(raw[3], values)]
+            slices = tuple(slice(b, e, s) for b, e, s in zip(begin, end, strides))
+            return (inp[0][slices],)
+        if op == "ResizeBilinear":
+            size = [int(v) for v in self._static(raw[1], values)]
+            x = inp[0]
+            import jax.image
+
+            return (jax.image.resize(
+                x, (x.shape[0], size[0], size[1], x.shape[3]), "linear"),)
+        raise NotImplementedError(
+            f"GraphDefModule: op '{op}' (node {node.name}) not supported")
+
+
+def run_frozen_graph(
+    graph_def, inputs: Sequence[str], outputs: Sequence[str]
+) -> Callable:
+    """Convenience: returns a jitted callable over the frozen graph."""
+    import jax
+
+    mod = GraphDefModule(graph_def, inputs, outputs)
+    return jax.jit(mod)

@@ -222,3 +222,14 @@ def slice_pairwise_distance(
         mat_slice(pair_dist, mix_group_1, mix_group_2),
         mat_slice(pair_dist, mix_group_2),
     )
+
+
+def get_dist_np(x, y):
+    """Numpy pairwise euclidean distance (math_func.py:935-950); note the
+    reference returns the sqrt'ed distance here."""
+    import numpy as _np
+
+    x = _np.array(x, dtype=_np.float32)
+    y = _np.array(y, dtype=_np.float32)
+    d2 = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    return _np.sqrt(d2, dtype=_np.float32)

@@ -54,6 +54,7 @@ class DataParallel:
         self.axis = self.mesh.axis_names[0]
         self.batch_sharding = NamedSharding(self.mesh, P(self.axis))
         self.replicated = NamedSharding(self.mesh, P())
+        self._compiled: Dict = {}
 
     @property
     def num_devices(self) -> int:
@@ -92,11 +93,28 @@ class DataParallel:
         """
         platform = self.mesh.devices.flat[0].platform
         donate = donate_state and platform != "cpu"
-        return jax.jit(
-            step_fn,
-            donate_argnums=(0,) if donate else (),
-        )
+        cache_key = (id(step_fn), donate)
+        if cache_key not in self._compiled:
+            # memoized so repeated train calls (per-chunk loops) reuse the
+            # traced/compiled executable instead of re-jitting
+            self._compiled[cache_key] = jax.jit(
+                step_fn,
+                donate_argnums=(0,) if donate else (),
+            )
+        return self._compiled[cache_key]
 
     def fully_replicated_value(self, x):
         """Fetch a (replicated) device value to host."""
         return jax.device_get(x)
+
+
+def average_tower_grads(tower_grads):
+    """Explicit per-tower gradient averaging (SynTower.average_grads,
+    graph_func.py:61-158). Provided for API parity/manual pipelines; the
+    pjit data-parallel path makes this implicit (XLA inserts the psum).
+
+    :param tower_grads: list of gradient pytrees, one per tower
+    :return: the element-wise mean pytree
+    """
+    n = float(len(tower_grads))
+    return jax.tree.map(lambda *gs: sum(gs) / n, *tower_grads)

@@ -1,0 +1,109 @@
+"""Tests for auxiliary utilities: Fig plots, SWD, checkpoint inspection,
+event/metric reading."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+
+def test_fig_plots(tmp_path, rng):
+    from mmdgan_tpu.utils.fig import Fig
+
+    fig = Fig(fig_folder=str(tmp_path))
+    p1 = fig.hist(rng.randn(500), filename="h")
+    p2 = fig.hist2d(rng.randn(500, 2), filename="h2")
+    p3 = fig.scatter(rng.randn(100, 2), labels=np.arange(100) % 3, filename="sc")
+    p4 = fig.contour(lambda p: (p ** 2).sum(1), filename="ct")
+    p5 = fig.text_scatter(rng.randn(10, 2), [str(i) for i in range(10)], filename="ts")
+    for p in (p1, p2, p3, p4, p5):
+        assert os.path.isfile(p)
+
+
+def test_swd_sanity(rng, key):
+    from mmdgan_tpu.metrics.swd import sliced_wasserstein_distance
+
+    x = rng.rand(32, 32, 32, 3).astype(np.float32) * 2 - 1
+    y_same = rng.rand(32, 32, 32, 3).astype(np.float32) * 2 - 1
+    y_diff = np.clip(x + rng.randn(32, 32, 32, 3) * 0.8, -1, 1).astype(np.float32)
+    s_similar = sliced_wasserstein_distance(x, y_same, num_levels=2,
+                                            num_patches=512, key=key)
+    s_noisy = sliced_wasserstein_distance(x, y_diff, num_levels=2,
+                                          num_patches=512, key=key)
+    assert all(np.isfinite(s_similar)) and all(np.isfinite(s_noisy))
+    # identical distributions give near-zero-ish scores vs heavy noise
+    s_self = sliced_wasserstein_distance(x, x, num_levels=2,
+                                         num_patches=512, key=key)
+    assert np.mean(s_self) < np.mean(s_noisy)
+
+
+def test_checkpoint_utils(tmp_path, key):
+    from mmdgan_tpu.train import Agent, init_train_state, multi_opt_config
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.utils.checkpoint import (
+        get_ckpt,
+        list_ckpt_steps,
+        print_tensor_in_ckpt,
+        rollback,
+    )
+
+    arch = {
+        "input": [(1, 4, 4)], "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 16, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [1, 4, 4]},
+        ],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "w_nm": "s",
+             "in_reshape": [16]},
+        ],
+    }
+    model = SNGan(arch, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    agent = Agent("t", "ck", output_dir=str(tmp_path), use_tensorboard=False)
+    agent.save(ts, 7)
+    folder = agent.ckpt_folder
+
+    assert get_ckpt(folder) == 7
+    assert list_ckpt_steps(folder) == [7]
+    info = print_tensor_in_ckpt(folder)
+    assert any("kernel" in k for k in info)
+
+    restored, step = rollback(ts, folder)
+    assert step == 7
+    a = jax.tree.leaves(ts.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # fn evaluation on the restored state
+    val, _ = rollback(ts, folder, fn=lambda s: int(s.step))
+    assert val == 0
+
+
+def test_read_metrics_jsonl(tmp_path):
+    from mmdgan_tpu.utils.events import read_metrics_jsonl
+    from mmdgan_tpu.utils.summary import MetricWriter
+
+    w = MetricWriter(str(tmp_path), use_tensorboard=False)
+    for s in range(3):
+        w.scalars(s, {"loss": 1.0 / (s + 1)})
+    w.close()
+    out = read_metrics_jsonl(str(tmp_path))
+    np.testing.assert_array_equal(out["step"], [0, 1, 2])
+    np.testing.assert_allclose(out["loss"], [1.0, 0.5, 1 / 3])
+
+
+def test_read_event_file(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    from mmdgan_tpu.utils.events import read_event_file
+
+    w = tf.summary.create_file_writer(str(tmp_path))
+    with w.as_default():
+        for s in range(3):
+            tf.summary.scalar("loss", 2.0 * s, step=s)
+    w.close()
+    out = read_event_file(str(tmp_path))
+    assert "loss" in out
+    np.testing.assert_allclose(out["loss"][:, 1], [0.0, 2.0, 4.0])
