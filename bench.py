@@ -30,8 +30,9 @@ from experiments.architectures import cifar_architecture
 REF_BASELINE_STEPS_PER_SEC = 12.0  # assumed TF1-GPU baseline (see docstring)
 
 BATCH = 64
-WARMUP = 10
-MEASURE = 100
+SCAN_K = 16     # steps fused per launch (lax.scan) — amortizes dispatch
+WARMUP_CALLS = 2
+MEASURE_STEPS = 512
 
 
 def main():
@@ -39,39 +40,41 @@ def main():
     model = SNGan(arch, num_class=0, loss_type="rep")
     opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
-    step_fn = build_train_step(model, opt_d, opt_g)
+    from mmdgan_tpu.train.step import build_multi_step
+
+    step_fn = build_multi_step(model, opt_d, opt_g, SCAN_K)
 
     dp = DataParallel()
     n_chips = dp.num_devices
     ts = dp.replicate(ts)
     step = dp.compile_step(step_fn)
 
-    # pre-stage a handful of device batches so host decode is off the clock
+    # pre-stage stacked device batches so host decode is off the clock
     rng = np.random.RandomState(0)
-    batches = [
-        dp.shard_batch({
-            "x": rng.randn(BATCH, 32, 32, 3).astype(np.float32).clip(-1, 1),
-            "y": None,
-        })
-        for _ in range(4)
-    ]
+    batches = dp.shard_multi_batch({
+        "x": rng.randn(SCAN_K, BATCH, 32, 32, 3).astype(np.float32).clip(-1, 1),
+        "y": None,
+    })
     t = jnp.asarray(True)
 
-    for i in range(WARMUP):
-        ts, m = step(ts, batches[i % len(batches)], t, t)
-    jax.block_until_ready(m["loss_gen"])
+    # NOTE: timings force a host fetch of the final metric values —
+    # block_until_ready alone under-reports on tunneled backends.
+    for _ in range(WARMUP_CALLS):
+        ts, m = step(ts, batches, t, t)
+    float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
 
+    n_calls = MEASURE_STEPS // SCAN_K
     start = time.perf_counter()
-    for i in range(MEASURE):
-        ts, m = step(ts, batches[i % len(batches)], t, t)
-    jax.block_until_ready(m["loss_gen"])
+    for _ in range(n_calls):
+        ts, m = step(ts, batches, t, t)
+    final_loss = float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
     dur = time.perf_counter() - start
 
-    steps_per_sec = MEASURE / dur
+    steps_per_sec = n_calls * SCAN_K / dur
     per_chip = steps_per_sec / max(n_chips, 1) if n_chips > 1 else steps_per_sec
     print(
         f"[bench] {steps_per_sec:.2f} steps/s total on {n_chips} chip(s); "
-        f"loss_gen={float(jax.device_get(m['loss_gen'])):.4f}",
+        f"loss_gen={final_loss:.4f}",
         file=sys.stderr,
     )
     print(json.dumps({

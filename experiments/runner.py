@@ -59,6 +59,10 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="fuse K train steps per device launch (lax.scan); "
+                        "amortizes dispatch latency, requires a constant "
+                        "update schedule")
     p.add_argument("--use-pallas", action="store_true",
                    help="fused Pallas MMD loss kernel (TPU)")
     return p
@@ -183,6 +187,7 @@ def run_experiment(
             dp=dp,
             summary_image_fn=lambda ts: model.generate(
                 ts.params, ts.net_state, rng=jax.random.PRNGKey(chunk), batch_size=8),
+            steps_per_call=args.steps_per_call,
         )
         if debug_mode is None:
             return ts

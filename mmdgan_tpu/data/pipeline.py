@@ -75,11 +75,17 @@ class ReadTFRecords:
         self._image_shape: Optional[tuple] = None
         self.batch_shape = [batch_size, num_features]
 
-    def shape2image(self, channels: int, height: int, width: int, resize=None):
+    def shape2image(self, channels: int, height: int, width: int, resize=None,
+                    transpose: bool = False):
         """Declare that x holds a C,H,W uint8 image; values scaled to
         [-1, 1] and laid out NHWC (the reference reshapes to NCHW —
-        channels_first; TPU wants channels_last)."""
+        channels_first; TPU wants channels_last).
+
+        :param transpose: swap H and W (the reference's image_transpose
+            for datasets like MNIST, my_sngan.py:72-78, :358-359).
+        """
         self._image_shape = (channels, height, width, tuple(resize) if resize else None)
+        self._transpose_hw = transpose
         self.batch_shape = [self.batch_size, height, width, channels]
         return self
 
@@ -133,6 +139,8 @@ class ReadTFRecords:
             c, h, w, resize = self._image_shape
             x = x / 127.5 - 1.0
             x = x.reshape(c, h, w).transpose(1, 2, 0)  # CHW -> HWC
+            if getattr(self, "_transpose_hw", False):
+                x = x.transpose(1, 0, 2)  # swap H and W (image_transpose)
             if resize is not None:
                 try:
                     from PIL import Image

@@ -74,6 +74,20 @@ class DataParallel:
 
         return jax.tree.map(put, batch, is_leaf=lambda v: v is None)
 
+    def shard_multi_batch(self, batches):
+        """Shard [K, B, ...] stacked batches over the data axis on dim 1
+        (the scan axis K stays unsharded)."""
+        sharding = NamedSharding(self.mesh, P(None, self.axis))
+
+        def put(x):
+            if x is None:
+                return None
+            x = jnp.asarray(x)
+            assert x.shape[1] % self.mesh.size == 0
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(put, batches, is_leaf=lambda v: v is None)
+
     def replicate(self, tree):
         return jax.device_put(tree, self.replicated)
 

@@ -150,6 +150,7 @@ class Agent:
         summary_image_fn: Optional[Callable] = None,
         model_description: Optional[str] = None,
         force_print: bool = False,
+        steps_per_call: int = 1,
     ) -> TrainState:
         """Run the training loop; returns the final TrainState.
 
@@ -158,7 +159,19 @@ class Agent:
         :param dp: DataParallel context (defaults to all devices)
         :param summary_image_fn: fn(ts) -> [N,H,W,C] images for the final
             summary (my_sngan.py:459-463)
+        :param steps_per_call: fuse K steps per device launch via lax.scan
+            (amortizes dispatch latency ~K-fold; only used when the update
+            schedule is constant, i.e. imbalanced_update is None).
         """
+        if (
+            steps_per_call > 1
+            and self.imbalanced_update is None
+            and self.debug_mode is not None
+        ):
+            return self._train_multi(
+                train_step, ts, data_iter, max_step, step_per_epoch, dp,
+                summary_image_fn, steps_per_call, force_print,
+            )
         if self.debug_mode is None:
             # graph-inspection mode (graph_func.py:1195-1204)
             print(model_description or "Agent: debug_mode=None, nothing to run.")
@@ -236,6 +249,91 @@ class Agent:
             jax.profiler.stop_trace()
 
         # save model + final image summary at last step (graph_func.py:869-874)
+        final_step = int(jax.device_get(ts.step))
+        if self.do_save:
+            self.save(ts, final_step)
+        if summary_image_fn is not None:
+            imgs = np.asarray(jax.device_get(summary_image_fn(ts)))
+            self.writer.images(final_step, "Ig", imgs)
+        duration = time.time() - start
+        print(f"Training for {max_step} steps took {duration:.3f} sec "
+              f"({max_step / max(duration, 1e-9):.2f} steps/s).")
+        self.writer.flush()
+        return ts
+
+    def _train_multi(
+        self, train_step, ts, data_iter, max_step, step_per_epoch, dp,
+        summary_image_fn, k, force_print,
+    ) -> TrainState:
+        """Scan-fused loop: K steps per launch (see build_multi_step)."""
+        import jax.lax  # noqa: F401  (scan used inside the fused step)
+
+        if self.debug_mode:
+            max_step = min(max_step, self.debug_step)
+        dp = dp or DataParallel()
+
+        # cache the scan closure so per-chunk train() calls don't re-trace
+        if not hasattr(self, "_multi_cache"):
+            self._multi_cache = {}
+        cache_key = (id(train_step), k)
+        if cache_key not in self._multi_cache:
+            def multi(ts_in, batches, do_dis, do_gen):
+                def body(carry, batch):
+                    return train_step(carry, batch, do_dis, do_gen)
+                return jax.lax.scan(body, ts_in, batches, length=k)
+            self._multi_cache[cache_key] = multi
+        step_fn = dp.compile_step(self._multi_cache[cache_key])
+        ts = dp.replicate(ts)
+        if self.load_ckpt:
+            ts = self.restore(ts)
+        start_step = int(jax.device_get(ts.step))
+        start = time.time()
+        data_it = iter(data_iter)
+        num_calls = max_step // k
+        remainder = max_step - num_calls * k
+        t_true = jnp.asarray(True)
+        for call in range(num_calls):
+            host = [next(data_it) for _ in range(k)]
+            batches = {
+                key: (np.stack([b[key] for b in host]) if host[0].get(key) is not None else None)
+                for key in host[0]
+            }
+            batches = dp.shard_multi_batch(batches)
+            ts, metrics = step_fn(ts, batches, t_true, t_true)
+            gstep = start_step + (call + 1) * k
+            if (
+                gstep % self.query_step < k
+                or gstep // self.nan_check_step != (gstep - k) // self.nan_check_step
+                or call == num_calls - 1
+            ):
+                vals = {key: float(np.asarray(v)[-1]) for key, v in
+                        jax.device_get(metrics).items()}
+                loss_vals = [vals["loss_gen"], vals["loss_dis"]]
+                if any(np.isnan(loss_vals)):
+                    self._abnormal_save(ts, gstep, vals)
+                    raise FloatingPointError(
+                        f"Model diverged with loss = {loss_vals} at step {gstep}")
+                if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
+                    self._abnormal_save(ts, gstep, vals)
+                    warnings.warn("Training stopped early as loss diverged.")
+                    return ts
+                if gstep % self.query_step < k or call == num_calls - 1:
+                    self.writer.scalars(gstep, vals)
+                    if self.print_loss or force_print:
+                        epoch = (gstep - 1) // max(step_per_epoch, 1)
+                        speed = (call + 1) * k / (time.time() - start)
+                        print(f"global step {gstep} epoch {epoch}: "
+                              f"loss_gen {vals['loss_gen']:.4f} "
+                              f"loss_dis {vals['loss_dis']:.4f} "
+                              f"({speed:.2f} steps/s)")
+        # trailing steps below one scan window run singly
+        if remainder:
+            single = dp.compile_step(train_step)
+            for _ in range(remainder):
+                batch = dp.shard_batch(next(data_it))
+                ts, metrics = single(ts, batch, t_true, t_true)
+            jax.device_get(metrics["loss_gen"])
+
         final_step = int(jax.device_get(ts.step))
         if self.do_save:
             self.save(ts, final_step)

@@ -149,3 +149,16 @@ def test_mdl_score_with_random_classifier(tmp_path, key, monkeypatch):
         num_batch=2, model="v1", key=key)
     assert len(scores) == 4
     assert all(np.isfinite(s) for s in scores)
+
+
+def test_agent_multi_step_path(tmp_path, key):
+    """steps_per_call>1 fuses K steps per launch and matches the step count
+    of the single-step path."""
+    model, ts, step_fn = setup(key)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    agent = Agent("t", "ms", load_ckpt=False, query_step=8, nan_check_step=8,
+                  do_save=False, output_dir=str(tmp_path), use_tensorboard=False)
+    ts2 = agent.train(step_fn, ts, data, max_step=22, step_per_epoch=100,
+                      steps_per_call=8)
+    # 2 fused calls of 8 + 6 singles = 22
+    assert int(jax.device_get(ts2.step)) == 22
