@@ -25,7 +25,7 @@ import numpy as np
 from mmdgan_tpu.models import SNGan
 from mmdgan_tpu.train import build_train_step, init_train_state, multi_opt_config
 from mmdgan_tpu.parallel import DataParallel
-from experiments.architectures import cifar_architecture
+from experiments.architectures import celeba_architecture, cifar_architecture
 
 REF_BASELINE_STEPS_PER_SEC = 12.0  # assumed TF1-GPU baseline (see docstring)
 
@@ -36,7 +36,19 @@ MEASURE_STEPS = 512
 
 
 def main():
-    arch = cifar_architecture()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="cifar", choices=["cifar", "celeba"])
+    args = ap.parse_args()
+    if args.arch == "celeba":
+        arch = celeba_architecture()
+        img = 64
+        metric_name = "celeba64_sngan_rep_b64_train_steps_per_sec_per_chip"
+    else:
+        arch = cifar_architecture()
+        img = 32
+        metric_name = "cifar10_sngan_rep_b64_train_steps_per_sec_per_chip"
     model = SNGan(arch, num_class=0, loss_type="rep")
     opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
@@ -52,7 +64,7 @@ def main():
     # pre-stage stacked device batches so host decode is off the clock
     rng = np.random.RandomState(0)
     batches = dp.shard_multi_batch({
-        "x": rng.randn(SCAN_K, BATCH, 32, 32, 3).astype(np.float32).clip(-1, 1),
+        "x": rng.randn(SCAN_K, BATCH, img, img, 3).astype(np.float32).clip(-1, 1),
         "y": None,
     })
     t = jnp.asarray(True)
@@ -78,7 +90,7 @@ def main():
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "cifar10_sngan_rep_b64_train_steps_per_sec_per_chip",
+        "metric": metric_name,
         "value": round(per_chip, 3),
         "unit": "steps/sec",
         "vs_baseline": round(per_chip / REF_BASELINE_STEPS_PER_SEC, 3),
