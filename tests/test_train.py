@@ -168,3 +168,38 @@ def test_rng_advances(rng, key):
     t = jnp.asarray(True)
     ts1, _ = step(ts, make_batch(rng), t, t)
     assert not np.array_equal(np.asarray(ts.rng), np.asarray(ts1.rng))
+
+
+def test_gradients_match_finite_differences(rng, key):
+    """End-to-end gradient check: jax.vjp grads of the full model loss
+    (through SN power iteration, conv stacks, the MMD loss) must match
+    central finite differences along random directions."""
+    model = SNGan(TINY_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    params, state, loss_state = model.init(key)
+    data = {"x": jnp.asarray(rng.randn(8, 8, 8, 1).astype(np.float32)), "y": None}
+
+    def f(p):
+        lg, ld, _, _, _ = model.compute_losses(
+            p, state, loss_state, key, data, train=False)
+        return lg + 2.0 * ld
+
+    g = jax.grad(f)(params)
+    f0 = float(f(params))
+    dir_rng = np.random.RandomState(7)
+    for trial in range(3):
+        # random unit direction in parameter space
+        flat, tree = jax.tree.flatten(params)
+        d = [jnp.asarray(dir_rng.randn(*np.shape(p)).astype(np.float32))
+             for p in flat]
+        norm = np.sqrt(sum(float(jnp.sum(v * v)) for v in d))
+        d = [v / norm for v in d]
+        direction = jax.tree.unflatten(tree, d)
+        eps = 1e-3
+        plus = jax.tree.map(lambda p, v: p + eps * v, params, direction)
+        minus = jax.tree.map(lambda p, v: p - eps * v, params, direction)
+        fd = (float(f(plus)) - float(f(minus))) / (2 * eps)
+        analytic = sum(
+            float(jnp.sum(gv * dv))
+            for gv, dv in zip(jax.tree.leaves(g), jax.tree.leaves(direction)))
+        np.testing.assert_allclose(fd, analytic, rtol=6e-2, atol=2e-5)  # f32 FD noise floor

@@ -107,3 +107,38 @@ def test_read_event_file(tmp_path):
     out = read_event_file(str(tmp_path))
     assert "loss" in out
     np.testing.assert_allclose(out["loss"][:, 1], [0.0, 2.0, 4.0])
+
+
+def test_export_generator_roundtrip(tmp_path, key):
+    """jax.export serving artifact: serialize the generator, reload it
+    without model code, outputs must match."""
+    import jax.numpy as jnp
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.utils.export import export_generator, load_exported
+
+    arch = {
+        "input": [(1, 8, 8)], "code": [(16, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [8, 4, 4]},
+            {"name": "l2", "out": 4, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 1, "act": "tanh"},
+        ],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "w_nm": "s",
+             "in_reshape": [64]},
+        ],
+    }
+    model = SNGan(arch, loss_type="rep")
+    params, state, _ = model.init(key)
+    path = export_generator(model, params, state, batch_size=3,
+                            out_path=str(tmp_path / "gen.stablehlo"))
+    fn = load_exported(path)
+    z = jax.random.normal(key, (3, 16))
+    out = fn(z)
+    expect = model.generate(params, state, code_batch={"x": z, "y": None})
+    # the deserialized artifact recompiles with its own fusion choices;
+    # bf16 conv compute gives ~1e-3 level differences
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-2, atol=5e-3)
