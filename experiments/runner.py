@@ -193,6 +193,13 @@ def run_experiment(
             return ts
         host_ts = jax.device_get(ts)
         gstep = int(host_ts.step)
+        # per-layer spectral norms (reference kernel_norm summaries)
+        norms = model.Dis.kernel_norms(
+            host_ts.params["dis"], host_ts.net_state["dis"])
+        agent.writer.scalars(gstep, {
+            f"sigma/{k}": float(v) for k, v in norms.items()
+            if np.ndim(v) == 0 or np.size(v) == 1
+        })
         if not args.skip_sampling:
             model.eval_sampling(
                 host_ts.params, host_ts.net_state, agent.filename, sub_folder,

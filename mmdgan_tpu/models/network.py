@@ -222,6 +222,44 @@ class Routine:
                 state[layer.layer_scope] = s
         return params, state
 
+    def kernel_norms(self, params: Dict, state: Dict) -> Dict[str, float]:
+        """Per-op spectral norms for observability (the reference's
+        ``kernel_norm`` summaries, layer_func.py:2153-2165,
+        my_sngan.py:320-321). Pure read: state is not advanced."""
+        from mmdgan_tpu.ops.spectral_norm import (
+            spectral_norm_apply,
+            spectral_norm_pim_apply,
+        )
+
+        out: Dict[str, float] = {}
+        for idx in self.layer_indices:
+            layer = self.net.layers[idx]
+            scope = layer.layer_scope
+            for op_name, op in layer.ops.items():
+                sn_def = getattr(op, "sn_def", None)
+                use_pim = getattr(op, "use_pim", False)
+                if sn_def is None and not use_pim:
+                    continue
+                p = params.get(scope, {}).get(op_name, {})
+                s = state.get(scope, {}).get(op_name, {})
+                if "sn_x" not in s:
+                    continue
+                if op.design["op"] in ("dcd", "dck", "cck", "tcck"):
+                    kernel = (p["kernel"], p["c_kernel"])
+                else:
+                    kernel = p["kernel"]
+                if use_pim:
+                    sigma, _ = spectral_norm_pim_apply(kernel, s["sn_x"])
+                else:
+                    sigma, _ = spectral_norm_apply(kernel, s["sn_x"], sn_def)
+                import numpy as _np
+
+                arr = _np.asarray(sigma)
+                out[f"{scope}/{op_name}"] = (
+                    float(arr) if arr.size == 1 else arr
+                )
+        return out
+
     def apply(
         self,
         params: Dict,

@@ -121,6 +121,33 @@ class DataParallel:
         """Fetch a (replicated) device value to host."""
         return jax.device_get(x)
 
+    def prefetch(self, data_iter, size: int = 2, multi: bool = False):
+        """Overlap host->device transfer with compute: keep ``size``
+        batches already on device ahead of consumption (device_put is
+        async; holding references keeps the transfers in flight).
+
+        :param data_iter: host batch iterator
+        :param multi: True for [K, B, ...] stacked batches
+        """
+        import collections
+
+        put = self.shard_multi_batch if multi else self.shard_batch
+        queue = collections.deque()
+        it = iter(data_iter)
+
+        def filled():
+            try:
+                while len(queue) < size:
+                    queue.append(put(next(it)))
+            except StopIteration:
+                pass
+
+        filled()
+        while queue:
+            batch = queue.popleft()
+            filled()
+            yield batch
+
 
 def average_tower_grads(tower_grads):
     """Explicit per-tower gradient averaging (SynTower.average_grads,

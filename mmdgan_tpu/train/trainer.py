@@ -192,10 +192,10 @@ class Agent:
         trace_started = False
         start_step = int(jax.device_get(ts.step))
 
-        data_it = iter(data_iter)
+        device_it = dp.prefetch(data_iter, size=2)
         for local_step in range(max_step):
             global_step = start_step + local_step
-            batch = dp.shard_batch(next(data_it))
+            batch = next(device_it)
             do_dis, do_gen = self._update_flags(global_step, mmd_average, host_rng)
 
             if (
@@ -292,13 +292,19 @@ class Agent:
         num_calls = max_step // k
         remainder = max_step - num_calls * k
         t_true = jnp.asarray(True)
+
+        def stacked_host_batches():
+            while True:
+                host = [next(data_it) for _ in range(k)]
+                yield {
+                    key: (np.stack([b[key] for b in host])
+                          if host[0].get(key) is not None else None)
+                    for key in host[0]
+                }
+
+        device_it = dp.prefetch(stacked_host_batches(), size=2, multi=True)
         for call in range(num_calls):
-            host = [next(data_it) for _ in range(k)]
-            batches = {
-                key: (np.stack([b[key] for b in host]) if host[0].get(key) is not None else None)
-                for key in host[0]
-            }
-            batches = dp.shard_multi_batch(batches)
+            batches = next(device_it)
             ts, metrics = step_fn(ts, batches, t_true, t_true)
             gstep = start_step + (call + 1) * k
             if (

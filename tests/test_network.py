@@ -199,3 +199,22 @@ def test_split_concat_links(key):
     params, state = r.init(key)
     out, _ = r.apply(params, state, jax.random.normal(key, (3, 6)))
     assert out["x"].shape == (3, 2)
+
+
+def test_kernel_norms_observability(key):
+    """Per-layer sigma readout (reference kernel_norm summaries)."""
+    net = Net(CIFAR_ARCH["discriminator"], net_name="dis")
+    r = Routine(net)
+    r.add_input_layers([3, 32, 32], [0])
+    r.seq_links(list(range(net.num_layers)))
+    r.add_output_layers([net.num_layers - 1])
+    params, state = r.init(key)
+    # converge the power vectors a bit
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    for _ in range(5):
+        _, new_state = r.apply(params, state, x, train=True)
+        state = jax.tree.map(lambda a, b: b, state, new_state)
+    norms = r.kernel_norms(params, state)
+    assert len(norms) == 8  # every SN'd conv/dense in the reference D
+    for name, sigma in norms.items():
+        assert np.isfinite(sigma) and sigma > 0, name
