@@ -214,3 +214,51 @@ def test_pipeline_native_equals_python(tmp_path):
     for a, b in zip(batches[False], batches[True]):
         np.testing.assert_array_equal(a["x"], b["x"])
         np.testing.assert_array_equal(a["y"], b["y"])
+
+
+def test_binary_converter_stl_recipe(tmp_path):
+    """STL-10 recipe: transposed images, LANCZOS resize 96->48
+    (input_func.py docstring / Data/ReadMe.md)."""
+    rng = np.random.RandomState(2)
+    n = 4
+    imgs = rng.randint(0, 256, size=(n, 3, 16, 16), dtype=np.uint8)
+    # store W/H-transposed, no labels (like unlabeled_X.bin)
+    stored = np.stack([im.transpose(0, 2, 1) for im in imgs])
+    bin_path = str(tmp_path / "stl.bin")
+    stored.reshape(n, -1).tofile(bin_path)
+    from mmdgan_tpu.data.converters import binary_image_to_tfrecords
+
+    binary_image_to_tfrecords(
+        [bin_path], str(tmp_path / "stl"), n, (3, 16, 16),
+        num_labels=0, resize=(8, 8), image_transpose=True)
+    out = list(TFRecordReader(str(tmp_path / "stl.tfrecords")).examples())
+    assert len(out) == n
+    arr = np.frombuffer(out[0]["x"], np.uint8).reshape(3, 8, 8)
+    # parity check vs PIL LANCZOS of the un-transposed image
+    from PIL import Image
+    expect = np.asarray(
+        Image.fromarray(imgs[0].transpose(1, 2, 0), "RGB").resize(
+            (8, 8), Image.LANCZOS), np.uint8).transpose(2, 0, 1)
+    np.testing.assert_array_equal(arr, expect)
+
+
+def test_raw_converter_celeba_recipe(tmp_path):
+    """CelebA recipe: aspect-preserving LANCZOS cover-resize to (72, 88)
+    then center crop 64 (input_func.py:230-337)."""
+    from PIL import Image
+    from mmdgan_tpu.data.converters import raw_image_to_tfrecords
+
+    rng = np.random.RandomState(4)
+    files = []
+    for i in range(3):
+        img = Image.fromarray(
+            rng.randint(0, 256, (218, 178, 3), np.uint8), "RGB")  # H=218, W=178
+        p = str(tmp_path / f"img{i}.png")
+        img.save(p)
+        files.append(p)
+    paths = raw_image_to_tfrecords(
+        files, str(tmp_path / "celebA"), resize=(88, 72), crop=(64, 64))
+    out = list(TFRecordReader(paths[0]).examples())
+    assert len(out) == 3
+    arr = np.frombuffer(out[0]["x"], np.uint8)
+    assert arr.size == 3 * 64 * 64
