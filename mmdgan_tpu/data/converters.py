@@ -23,8 +23,7 @@ LSUN (webp folder): raw_image_to_tfrecords(files, "lsun", resize=(64, 64),
 
 from __future__ import annotations
 
-import os
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

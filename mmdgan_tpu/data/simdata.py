@@ -9,7 +9,7 @@ densities — used to validate MMD losses on data with a known target
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterator, Sequence, Tuple, Union
 
 import numpy as np
 

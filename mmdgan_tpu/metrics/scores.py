@@ -11,8 +11,7 @@ fid_xx is the self-consistency sanity value the reference logs each eval.
 
 from __future__ import annotations
 
-import os
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Optional, Tuple
 
 import numpy as np
 

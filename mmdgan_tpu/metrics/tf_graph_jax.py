@@ -20,7 +20,7 @@ StridedSlice (static), Pack, ResizeBilinear.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
 

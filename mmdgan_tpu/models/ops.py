@@ -31,7 +31,6 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mmdgan_tpu.models.initializers import bias_initializer, weight_initializer
 from mmdgan_tpu.ops.spectral_norm import (
@@ -421,7 +420,7 @@ class ParametricOp:
             )
             y = self._conv(y, params["pointwise_kernel"], 1, "SAME", 1)
         elif op in ("max", "avg", "sum"):
-            from mmdgan_tpu.models.scaling import avg_pool, max_pool, sum_pool
+            from mmdgan_tpu.models.scaling import avg_pool, max_pool
             k, s, pad = d["kernel"], d["strides"], d["padding"]
             if op == "max":
                 y = max_pool(x, k, s, pad)

@@ -8,7 +8,7 @@ stateless and parameter-free; shape inference happens at construction.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

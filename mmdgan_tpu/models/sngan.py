@@ -20,7 +20,6 @@ from the reference (all deliberate, TPU-first):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax

@@ -19,7 +19,7 @@ not an average of per-shard MMDs) at data-parallel throughput.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
-import numpy as np
 
 
 def _manager(ckpt_folder: str):

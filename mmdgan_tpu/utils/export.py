@@ -12,9 +12,7 @@ rebuilt graph").
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
-import numpy as np
 
 
 def export_generator(
