@@ -203,3 +203,32 @@ def test_gradients_match_finite_differences(rng, key):
             float(jnp.sum(gv * dv))
             for gv, dv in zip(jax.tree.leaves(g), jax.tree.leaves(direction)))
         np.testing.assert_allclose(fd, analytic, rtol=6e-2, atol=2e-5)  # f32 FD noise floor
+
+
+def test_multi_step_equals_sequential(rng, key):
+    """K scan-fused steps must produce bitwise the state of K sequential
+    single steps (same rng chaining, same batches)."""
+    from mmdgan_tpu.train.step import build_multi_step
+
+    model = make_model()
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts0 = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    multi = jax.jit(build_multi_step(model, opt_d, opt_g, 4))
+    host = [make_batch(rng) for _ in range(4)]
+    t = jnp.asarray(True)
+
+    ts_seq = ts0
+    seq_losses = []
+    for b in host:
+        ts_seq, m = step(ts_seq, b, t, t)
+        seq_losses.append(float(m["loss_gen"]))
+
+    stacked = {"x": jnp.stack([b["x"] for b in host]), "y": None}
+    ts_scan, ms = multi(ts0, stacked, t, t)
+
+    np.testing.assert_allclose(
+        np.asarray(ms["loss_gen"]), seq_losses, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ts_seq.params), jax.tree.leaves(ts_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    assert int(ts_scan.step) == int(ts_seq.step) == 4
