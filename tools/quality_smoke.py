@@ -51,6 +51,9 @@ def main():
     p.add_argument("--scan-k", type=int, default=16)
     p.add_argument("--eval-batches", type=int, default=16)
     p.add_argument("--out", default="/tmp/quality_smoke")
+    p.add_argument("--loss", default="rep")
+    p.add_argument("--lr-dis", type=float, default=5e-4)
+    p.add_argument("--lr-gen", type=float, default=2e-4)
     args = p.parse_args()
 
     import jax
@@ -65,8 +68,8 @@ def main():
     from mmdgan_tpu.utils.sprite import write_sprite_wrapper
 
     os.makedirs(args.out, exist_ok=True)
-    model = SNGan(cifar_architecture(), num_class=0, loss_type="rep")
-    opt_d, opt_g = multi_opt_config([5e-4, 2e-4])
+    model = SNGan(cifar_architecture(), num_class=0, loss_type=args.loss)
+    opt_d, opt_g = multi_opt_config([args.lr_dis, args.lr_gen])
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
     step = jax.jit(build_multi_step(model, opt_d, opt_g, args.scan_k))
     data = blob_batches(args.batch)
@@ -100,9 +103,11 @@ def main():
         done += args.scan_k
         if done % args.eval_every < args.scan_k:
             fid, g = eval_fid(ts)
-            lg = float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
+            mm = {k: float(np.asarray(jax.device_get(v))[-1]) for k, v in m.items()}
             speed = done / (time.time() - start)
-            print(f"step {done}: FID = {fid:.4f} loss_gen={lg:.4f} "
+            print(f"step {done}: FID = {fid:.4f} loss_gen={mm['loss_gen']:.4f} "
+                  f"loss_dis={mm['loss_dis']:.4f} s_x={mm['s_x_mean']:.3f} "
+                  f"s_g={mm['s_gen_mean']:.3f} "
                   f"({speed:.1f} steps/s incl. host data)", flush=True)
             write_sprite_wrapper(g[:64], (8, 8), "samples", args.out, f"_step{done}")
     print(f"FID {fid0:.3f} -> {fid:.3f} "
