@@ -1,6 +1,7 @@
 """Train-step tests: fused step semantics, imbalanced updates, 8-device
 data-parallel execution with global-batch MMD semantics."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -232,3 +233,15 @@ def test_multi_step_equals_sequential(rng, key):
     for a, b in zip(jax.tree.leaves(ts_seq.params), jax.tree.leaves(ts_scan.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
     assert int(ts_scan.step) == int(ts_seq.step) == 4
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_graft_dryrun_multichip(n):
+    """The driver's multichip dry-run must work for 2/4/8-device meshes."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_graft", os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                               "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(n)
