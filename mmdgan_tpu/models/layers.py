@@ -352,6 +352,9 @@ class Layer:
             input_shape = self._build_nonlocal(input_shape)
         else:
             raise NotImplementedError(f"{self.layer_scope}: {t} is not implemented.")
+        # pre-reshape block output (used by the TF1 checkpoint importer to
+        # compute feature-order permutations across flatten boundaries)
+        self.pre_out_reshape_shape = tuple(input_shape)
         if self.design["out_reshape"] is None:
             self.output_shape = tuple(input_shape)
         else:

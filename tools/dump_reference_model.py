@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Build a small model with the REFERENCE's own graph builder (read-only,
+under tf.compat.v1) and dump its variables + input/output tensors to an
+.npz — ground truth for the TF1 checkpoint importer cross-validation
+(tests/test_tf1_crossval.py).
+
+Run in a subprocess (it monkeypatches sys.modules['tensorflow'] to the v1
+compat API and disables v2 behavior, which must not leak into the caller).
+
+  python tools/dump_reference_model.py --mode nhwc_conv --out dump.npz
+  python tools/dump_reference_model.py --mode nchw_dense --out dump.npz
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense"])
+    p.add_argument("--out", required=True)
+    p.add_argument("--reference", default="/root/reference")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import tensorflow.compat.v1 as tf
+    tf.disable_v2_behavior()
+    sys.modules["tensorflow"] = tf  # reference code does `import tensorflow as tf`
+    sys.path.insert(0, args.reference)
+    # numpy>=1.24 removed the np.int alias the TF1-era reference uses
+    if not hasattr(np, "int"):
+        np.int = int
+
+    # Keras 3 removed tf.layers.batch_normalization; shim the inference
+    # path with identical variable naming ({scope}/BN/gamma etc.) and the
+    # TF1 defaults (epsilon=1e-3).
+    def _bn_shim(inputs, axis=-1, center=True, scale=True,
+                 beta_initializer=None, gamma_initializer=None,
+                 gamma_constraint=None, training=False, renorm=False,
+                 fused=True, name="BN"):
+        assert training is False, "dump tool shims inference-mode BN only"
+        ch = inputs.shape.as_list()[axis]
+        shape = [1] * len(inputs.shape.as_list())
+        shape[axis] = ch
+        with tf.variable_scope(name):
+            gamma = tf.get_variable(
+                "gamma", [ch],
+                initializer=gamma_initializer or tf.ones_initializer()) \
+                if scale else None
+            beta = tf.get_variable(
+                "beta", [ch],
+                initializer=beta_initializer or tf.zeros_initializer()) \
+                if center else None
+            mm = tf.get_variable(
+                "moving_mean", [ch], initializer=tf.zeros_initializer(),
+                trainable=False)
+            mv = tf.get_variable(
+                "moving_variance", [ch], initializer=tf.ones_initializer(),
+                trainable=False)
+            rs = lambda v: None if v is None else tf.reshape(v, shape)
+            return tf.nn.batch_normalization(
+                inputs, rs(mm), rs(mv), rs(beta), rs(gamma), 1e-3)
+
+    import types
+    tf.layers = types.SimpleNamespace(batch_normalization=_bn_shim)
+
+    from GeneralTools.layer_func import Net, Routine  # noqa: E402
+
+    rng = np.random.RandomState(args.seed)
+    if args.mode == "nhwc_conv":
+        data_format = "channels_last"
+        code_size, batch = 16, 4
+        image_shape = [8, 8, 2]  # HWC
+        gen_design = [
+            {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [4, 4, 8]},
+            {"name": "l2", "out": 4, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 2, "op": "c", "act": "tanh", "kernel": 3,
+             "strides": 1},
+        ]
+        dis_design = [
+            {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+             "w_nm": "s", "kernel": 3, "strides": 2,
+             "out_reshape": [4 * 4 * 8]},
+            {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+        ]
+    else:  # nchw_dense: no convs (CPU cannot run NCHW convs)
+        data_format = "channels_first"
+        code_size, batch = 16, 4
+        image_shape = [2, 4, 4]  # CHW
+        gen_design = [
+            {"name": "l1", "out": 32, "op": "d", "act": "relu", "act_nm": None},
+            {"name": "l2", "out": 2 * 4 * 4, "op": "d", "act": "tanh",
+             "out_reshape": [2, 4, 4]},
+        ]
+        dis_design = [
+            {"name": "l1", "out": 8, "op": "d", "act": "lrelu", "w_nm": "s", "act_k": 1.0,
+             "in_reshape": [2 * 4 * 4]},
+            {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+        ]
+
+    graph = tf.Graph()
+    with graph.as_default():
+        g_net = Net(gen_design, net_name="gen", data_format=data_format)
+        gen = Routine(g_net)
+        gen.add_input_layers([batch, code_size], [0])
+        gen.seq_links(list(range(g_net.num_layers)))
+        gen.add_output_layers([g_net.num_layers - 1])
+
+        d_net = Net(dis_design, net_name="dis", data_format=data_format)
+        dis = Routine(d_net)
+        dis.add_input_layers([batch] + image_shape, [0])
+        dis.seq_links(list(range(d_net.num_layers)))
+        dis.add_output_layers([d_net.num_layers - 1])
+
+        z = tf.constant(rng.randn(batch, code_size).astype(np.float32))
+        x = tf.constant(rng.randn(batch, *image_shape).astype(np.float32))
+        gen_out = gen({"x": z}, is_training=False)["x"]
+        dis_out = dis({"x": x}, is_training=False)["x"]
+
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            variables = {v.op.name: sess.run(v) for v in tf.global_variables()}
+            z_v, x_v, g_v, d_v = sess.run(
+                [z, x, gen_out, dis_out])
+
+    out = {"__z__": z_v, "__x__": x_v, "__gen_out__": g_v, "__dis_out__": d_v,
+           "__mode__": np.asarray(args.mode)}
+    for name, val in variables.items():
+        out["var:" + name] = val
+    np.savez(args.out, **out)
+    print(f"dumped {len(variables)} variables to {args.out}")
+    for name in sorted(variables):
+        print(" ", name, variables[name].shape)
+
+
+if __name__ == "__main__":
+    main()
