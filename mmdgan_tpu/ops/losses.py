@@ -218,6 +218,9 @@ class GANLoss:
         return loss_gen, -loss_mix, state
 
     def _sample_omega(self, rng):
+        # a scalar omega_range means a fixed omega (math_func.py:2286-2287)
+        if not isinstance(self.omega_range, (list, tuple)):
+            return jnp.asarray(self.omega_range, jnp.float32)
         lo, hi = self.omega_range
         return jax.random.uniform(rng, [], minval=lo, maxval=hi)
 

@@ -112,3 +112,101 @@ def test_outputs_match_reference(tmp_path, key, mode, data_format):
         np.asarray(out_g["x"]), ref_gen, rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(
         np.asarray(out_d["x"]), ref_dis, rtol=1e-4, atol=5e-5)
+
+
+def test_full_cifar_architecture_matches_reference(tmp_path, key):
+    """The COMPLETE my_test_cifar.py architecture: reference graph builder
+    vs ours with imported weights — G and D outputs must match."""
+    from mmdgan_tpu.models.network import Net, Routine
+    from mmdgan_tpu.utils.tf1_import import TF1CheckpointImporter
+    from experiments.architectures import cifar_architecture
+
+    data, variables = dump("cifar_nhwc", tmp_path)
+    arch = cifar_architecture()
+
+    def make(design, name, input_spec):
+        net = Net(design, net_name=name, compute_dtype=jnp.float32)
+        r = Routine(net)
+        r.add_input_layers(input_spec, [0])
+        r.seq_links(list(range(net.num_layers)))
+        r.add_output_layers([net.num_layers - 1])
+        return r
+
+    gen = make(arch["generator"], "gen", [128])
+    dis = make(arch["discriminator"], "dis", [3, 32, 32])
+    pg, sg = gen.init(key)
+    pd, sd = dis.init(jax.random.fold_in(key, 1))
+    pg, sg = TF1CheckpointImporter(gen, "NHWC").apply(pg, sg, variables)
+    pd, sd = TF1CheckpointImporter(dis, "NHWC").apply(pd, sd, variables)
+
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    out_g, _ = gen.apply(pg, sg, {"x": z}, train=False)
+    out_d, _ = dis.apply(pd, sd, {"x": x}, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-3, atol=1e-4)
+
+
+def test_losses_match_reference_code(tmp_path):
+    """Our loss/kernel functions vs the REFERENCE's math_func code executed
+    under tf.compat.v1 — value parity on fixed scores."""
+    out = str(tmp_path / "ref_losses.npz")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "dump_reference_losses.py"),
+         "--out", out], capture_output=True, text=True, timeout=300)
+    if res.returncode != 0:
+        pytest.skip(f"reference loss dump failed: {res.stderr[-400:]}")
+    data = np.load(out)
+    s_gen = jnp.asarray(data["__s_gen__"])
+    s_x = jnp.asarray(data["__s_x__"])
+    b, d = s_gen.shape
+
+    from mmdgan_tpu.ops.distance import get_squared_dist
+    from mmdgan_tpu.ops import kernels as K
+    from mmdgan_tpu.ops.losses import GANLoss
+
+    def close(ref, got, name, rtol=2e-4, atol=2e-5):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=rtol, atol=atol,
+            err_msg=name)
+
+    # dispatcher losses
+    for loss_type in ["logistic", "hinge", "rep", "rmb", "mmd_g", "mmd_t", "mgb"]:
+        lg, ld, _ = GANLoss().apply(s_gen, s_x, loss_type, batch_size=b, d=d)
+        close(data[f"loss:{loss_type}:gen"], lg, f"{loss_type}:gen")
+        close(data[f"loss:{loss_type}:dis"], ld, f"{loss_type}:dis")
+    for loss_type in ["rand_g", "rgb"]:
+        lg, ld, _ = GANLoss(omega_range=0.45).apply(
+            s_gen, s_x, loss_type, batch_size=b, d=d)
+        close(data[f"loss:{loss_type}:gen"], lg, f"{loss_type}:gen", rtol=1e-3)
+        close(data[f"loss:{loss_type}:dis"], ld, f"{loss_type}:dis", rtol=1e-3)
+
+    # kernel-level functions
+    dxx, dxy, dyy = get_squared_dist(s_gen, s_x, mode="xxxyyy")
+    close(data["fn:mmd_g_s2"], K.mmd_g(dxx, dxy, dyy, b, sigma=2.0), "mmd_g_s2")
+    m1, m2 = K.mmd_g(dxx, dxy, dyy, b, sigma=1.0, custom_weights=[0.0, -1.0])
+    close(data["fn:rep1"], m1, "rep1")
+    close(data["fn:rep2"], m2, "rep2")
+    b1, b2 = K.mmd_g_bounded(dxx, dxy, dyy, b, sigma=1.0, lower_bound=0.25,
+                             upper_bound=4.0, custom_weights=[0.0, -1.0])
+    close(data["fn:rmb1"], b1, "rmb1")
+    close(data["fn:rmb2"], b2, "rmb2")
+    close(data["fn:mmd_t"], K.mmd_t(dxx, dxy, dyy, b, alpha=0.7, beta=2.0), "mmd_t")
+    close(data["fn:cramer"], K.cramer(dxx, dxy, dyy, b), "cramer")
+    close(data["fn:witness_g"], K.witness_g(dxy, dyy, sigma=1.5), "witness_g")
+    close(data["fn:witness_t"], K.witness_t(dxy, dyy, alpha=0.8, beta=2.0),
+          "witness_t")
+    close(data["fn:rand_xy"],
+          K.rand_mmd_g_xy(dxx, dxy, dyy, b, omega=0.4, max_iter=3),
+          "rand_xy", rtol=1e-3)
+    r1, r2 = K.rand_mmd_g_xy_bounded(dxx, dxy, dyy, b, omega=0.4, max_iter=3)
+    close(data["fn:rand_xy_b1"], r1, "rand_xy_b1", rtol=1e-3)
+    close(data["fn:rand_xy_b2"], r2, "rand_xy_b2", rtol=1e-3)
+    close(data["fn:rand_xn"],
+          K.rand_mmd_g_xn(s_gen, 1.0, b, d, omega=0.4, max_iter=3),
+          "rand_xn", rtol=1e-3)
+    dall = get_squared_dist(jnp.concatenate([s_gen, s_x]), mode="xx")
+    close(data["fn:rand_all"], K.rand_mmd_g(dall, b, omega=0.4, max_iter=3),
+          "rand_all", rtol=1e-3)

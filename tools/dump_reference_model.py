@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense"])
+    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense", "cifar_nhwc"])
     p.add_argument("--out", required=True)
     p.add_argument("--reference", default="/root/reference")
     p.add_argument("--seed", type=int, default=0)
@@ -86,6 +86,38 @@ def main():
              "w_nm": "s", "kernel": 3, "strides": 2,
              "out_reshape": [4 * 4 * 8]},
             {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+        ]
+    elif args.mode == "cifar_nhwc":
+        # the FULL my_test_cifar.py architecture (channels_last reshapes)
+        data_format = "channels_last"
+        code_size, batch = 128, 4
+        image_shape = [32, 32, 3]
+        act_k = float(np.power(64.0, 0.125))
+        gen_design = [
+            {"name": "l1", "out": 512 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [4, 4, 512]},
+            {"name": "l2_up", "out": 256, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l3_up", "out": 128, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l4_up", "out": 64, "op": "tc", "act": "relu",
+             "act_nm": "bn", "kernel": 4, "strides": 2},
+            {"name": "l5_t32", "out": 3, "act": "tanh"},
+        ]
+        dis_design = [
+            {"name": "l1_f32", "out": 64, "act": "lrelu", "act_k": act_k, "w_nm": "s"},
+            {"name": "l2_ds", "out": 128, "act": "lrelu", "act_k": act_k,
+             "w_nm": "s", "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 128, "act": "lrelu", "act_k": act_k, "w_nm": "s"},
+            {"name": "l4_ds", "out": 256, "act": "lrelu", "act_k": act_k,
+             "w_nm": "s", "kernel": 4, "strides": 2},
+            {"name": "l5", "out": 256, "act": "lrelu", "act_k": act_k, "w_nm": "s"},
+            {"name": "l6_ds", "out": 512, "act": "lrelu", "act_k": act_k,
+             "w_nm": "s", "kernel": 4, "strides": 2},
+            {"name": "l7", "out": 512, "op": "c", "act": "lrelu", "act_k": act_k,
+             "w_nm": "s", "out_reshape": [4 * 4 * 512]},
+            {"name": "l8_s", "out": 16, "op": "d", "act_k": act_k, "bias": "b",
+             "w_nm": "s"},
         ]
     else:  # nchw_dense: no convs (CPU cannot run NCHW convs)
         data_format = "channels_first"
