@@ -269,18 +269,23 @@ class SNGan:
         rng: Array,
         data_batch: Dict,
         train: bool = True,
+        code_batch: Optional[Dict] = None,
     ):
         """The training computation (my_sngan.py:259-323): sample codes,
         G fwd, ONE D pass on concat(real, fake), split scores, loss.
 
+        ``code_batch`` overrides the z sampling (the reference
+        __gpu_task__'s code_batch parameter, my_sngan.py:261).
         Returns (loss_gen, loss_dis, new_state, new_loss_state, aux).
         """
         batch_size = data_batch["x"].shape[0]
         rng_code, rng_loss, rng_gp = jax.random.split(rng, 3)
-        if self.sample_same_class and data_batch.get("y") is not None:
-            code_batch = self.sample_codes(rng_code, batch_size, code_y=data_batch["y"])
-        else:
-            code_batch = self.sample_codes(rng_code, batch_size)
+        if code_batch is None:
+            if self.sample_same_class and data_batch.get("y") is not None:
+                code_batch = self.sample_codes(
+                    rng_code, batch_size, code_y=data_batch["y"])
+            else:
+                code_batch = self.sample_codes(rng_code, batch_size)
         gen_out, gen_state = self.Gen.apply(
             params["gen"], state["gen"], code_batch, train=train
         )

@@ -40,9 +40,43 @@ def opt_config(
         return optax.sgd(schedule, momentum=0.9)
     if optimizer in ("Adam", "adam"):
         return optax.adam(initial_lr, b1=0.5, b2=0.999, eps=1e-8)
+    if optimizer in ("adam_tf1",):
+        return adam_tf1(initial_lr, b1=0.5, b2=0.999, eps=1e-8)
     if optimizer in ("RMSProp", "rmsprop"):
         return optax.rmsprop(initial_lr, decay=0.9, momentum=0.0, eps=1e-10)
     raise ValueError(f"Optimizer {optimizer} not supported.")
+
+
+def adam_tf1(
+    learning_rate: float, b1: float = 0.5, b2: float = 0.999, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Adam with TF1's exact update rule (tf.train.AdamOptimizer):
+
+        lr_t = lr * sqrt(1 - b2^t) / (1 - b1^t)
+        w   -= lr_t * m_t / (sqrt(v_t) + eps)
+
+    differs from optax.adam in the epsilon placement (TF1 adds eps to the
+    *uncorrected* sqrt(v)), which matters for near-zero gradients. Use for
+    strict step-level parity with the reference (verified in
+    tests/test_tf1_train_step_crossval.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return {"m": zeros(), "v": zeros(), "t": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        t = state["t"] + 1
+        m = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state["m"], grads)
+        v = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state["v"], grads)
+        lr_t = learning_rate * jnp.sqrt(1.0 - b2 ** t.astype(jnp.float32)) / (
+            1.0 - b1 ** t.astype(jnp.float32))
+        updates = jax.tree.map(
+            lambda m, v: -lr_t * m / (jnp.sqrt(v) + eps), m, v)
+        return updates, {"m": m, "v": v, "t": t}
+
+    return optax.GradientTransformation(init, update)
 
 
 def multi_opt_config(

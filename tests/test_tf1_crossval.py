@@ -210,3 +210,34 @@ def test_losses_match_reference_code(tmp_path):
     dall = get_squared_dist(jnp.concatenate([s_gen, s_x]), mode="xx")
     close(data["fn:rand_all"], K.rand_mmd_g(dall, b, omega=0.4, max_iter=3),
           "rand_all", rtol=1e-3)
+
+
+def test_loss_gradients_match_reference_code(tmp_path):
+    """d(loss_gen + 0.5*loss_dis)/d scores: reference tf.gradients vs
+    jax.grad — validates clamp subgradients and bounded-kernel gating."""
+    out = str(tmp_path / "ref_losses.npz")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "dump_reference_losses.py"),
+         "--out", out], capture_output=True, text=True, timeout=300)
+    if res.returncode != 0:
+        pytest.skip(f"reference loss dump failed: {res.stderr[-400:]}")
+    data = np.load(out)
+    s_gen = jnp.asarray(data["__s_gen__"])
+    s_x = jnp.asarray(data["__s_x__"])
+    b, d = s_gen.shape
+    from mmdgan_tpu.ops.losses import GANLoss
+
+    for loss_type in ["rep", "rmb", "mmd_g", "rand_g"]:
+        hp = GANLoss(omega_range=0.45) if loss_type == "rand_g" else GANLoss()
+
+        def f(sg, sx):
+            lg, ld, _ = hp.apply(sg, sx, loss_type, batch_size=b, d=d)
+            return lg + 0.5 * ld
+
+        g_gen, g_x = jax.grad(f, argnums=(0, 1))(s_gen, s_x)
+        np.testing.assert_allclose(
+            np.asarray(g_gen), data[f"grad:{loss_type}:gen"],
+            rtol=1e-3, atol=1e-5, err_msg=f"{loss_type}:gen")
+        np.testing.assert_allclose(
+            np.asarray(g_x), data[f"grad:{loss_type}:x"],
+            rtol=1e-3, atol=1e-5, err_msg=f"{loss_type}:x")

@@ -1,0 +1,150 @@
+"""The ultimate parity check: ONE full training step — reference machinery
+(Routine + GANLoss + two TF Adams + UPDATE_OPS) vs our fused jitted step —
+must produce the same losses and the same post-step parameters, BN
+statistics and SN power vectors."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference repo not mounted")
+
+ARCH = {
+    "input": [(2, 8, 8)],
+    "code": [(16, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [8, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 2, "op": "c", "act": "tanh", "kernel": 3,
+         "strides": 1},
+    ],
+    "discriminator": [
+        {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+         "w_nm": "s", "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+    ],
+}
+
+
+def test_train_step_matches_reference(tmp_path, key):
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.utils.tf1_import import import_reference_checkpoint
+
+    out = str(tmp_path / "ref_step.npz")
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "dump_reference_train_step.py"),
+         "--out", out], capture_output=True, text=True, timeout=300)
+    if res.returncode != 0:
+        pytest.skip(f"reference step dump failed: {res.stderr[-400:]}")
+    data = np.load(out)
+    pre = {k[4:]: data[k] for k in data.files if k.startswith("pre:")}
+    post = {k[5:]: data[k] for k in data.files if k.startswith("post:")}
+
+    model = SNGan(ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    params, state, loss_state = model.init(key)
+    params, state = import_reference_checkpoint(
+        model, params, state, pre, data_format="NHWC")
+
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+
+    # our step with the reference's fixed z (bypassing z sampling)
+    lg, ld, new_state, _, _ = model.compute_losses(
+        params, state, loss_state, key, {"x": x, "y": None}, train=True,
+        code_batch={"x": z, "y": None})
+    np.testing.assert_allclose(float(lg), float(data["__loss_gen__"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ld), float(data["__loss_dis__"]),
+                               rtol=1e-4, atol=1e-6)
+
+    g_gen = jax.grad(lambda pg: model.compute_losses(
+        {"gen": pg, "dis": params["dis"]}, state, loss_state, key,
+        {"x": x, "y": None}, train=True,
+        code_batch={"x": z, "y": None})[0])(params["gen"])
+    g_dis = jax.grad(lambda pd: model.compute_losses(
+        {"gen": params["gen"], "dis": pd}, state, loss_state, key,
+        {"x": x, "y": None}, train=True,
+        code_batch={"x": z, "y": None})[1])(params["dis"])
+
+    # use the TF1-exact Adam (epsilon on the uncorrected sqrt(v)) for
+    # bitwise-level step parity
+    from mmdgan_tpu.train.optim import adam_tf1
+    opt_d = adam_tf1(1e-3, b1=0.5, b2=0.999, eps=1e-8)
+    opt_g = adam_tf1(5e-4, b1=0.5, b2=0.999, eps=1e-8)
+    upd_d, _ = opt_d.update(g_dis, opt_d.init(params["dis"]), params["dis"])
+    upd_g, _ = opt_g.update(g_gen, opt_g.init(params["gen"]), params["gen"])
+    new_dis = optax.apply_updates(params["dis"], upd_d)
+    new_gen = optax.apply_updates(params["gen"], upd_g)
+
+    # map our post-step values back to reference names and compare
+    checks = {
+        "gen/l1/kernel/kernel": new_gen["gen/l1"]["kernel"]["kernel"],
+        "gen/l1/bias/bias": new_gen["gen/l1"]["bias"]["bias"],
+        "gen/l2/kernel/kernel": None,  # tc layout differs; checked via delta
+        "gen/l2/BN/BN/gamma": new_gen["gen/l2"]["BN"]["gamma"],
+        "gen/l2/BN/BN/beta": new_gen["gen/l2"]["BN"]["beta"],
+        "gen/l3/kernel/kernel": new_gen["gen/l3"]["kernel"]["kernel"],
+        "dis/l1/kernel/kernel": new_dis["dis/l1"]["kernel"]["kernel"],
+        "dis/l1/bias/bias": new_dis["dis/l1"]["bias"]["bias"],
+        "dis/l2/kernel/kernel": new_dis["dis/l2"]["kernel"]["kernel"],
+        "dis/l2/bias/bias": new_dis["dis/l2"]["bias"]["bias"],
+    }
+    for name, ours in checks.items():
+        if ours is None:
+            continue
+        lr = 1e-3 if name.startswith("dis") else 5e-4
+        ours = np.asarray(ours)
+        ref_grad = data.get("grad:" + name)
+        if ref_grad is not None:
+            # Adam amplifies float-noise on analytically-zero gradients
+            # (e.g. the final bias under MMD losses) into sign-arbitrary
+            # sub-lr updates; compare strictly only where the gradient is
+            # meaningful, and bound the update elsewhere.
+            meaningful = np.abs(ref_grad) > 1e-6
+            np.testing.assert_allclose(
+                ours[meaningful], post[name][meaningful],
+                rtol=1e-3, atol=1e-6, err_msg=name)
+            np.testing.assert_array_less(
+                np.abs(ours - post[name]), 1.01 * lr, err_msg=name + " bound")
+        else:
+            np.testing.assert_allclose(
+                ours, post[name], rtol=1e-3, atol=1e-6, err_msg=name)
+
+    # transpose-conv kernel: compare in the reference layout
+    from mmdgan_tpu.utils.tf1_import import _map_tc_kernel
+    ours_tc_ref_layout = np.transpose(
+        np.asarray(new_gen["gen/l2"]["kernel"]["kernel"])[::-1, ::-1],
+        (0, 1, 3, 2))
+    np.testing.assert_allclose(
+        ours_tc_ref_layout, post["gen/l2/kernel/kernel"],
+        rtol=1e-3, atol=1e-6, err_msg="gen/l2 tc kernel")
+
+    # BN moving statistics (UPDATE_OPS parity)
+    np.testing.assert_allclose(
+        np.asarray(new_state["gen"]["gen/l2"]["BN"]["moving_mean"]),
+        post["gen/l2/BN/BN/moving_mean"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_state["gen"]["gen/l2"]["BN"]["moving_var"]),
+        post["gen/l2/BN/BN/moving_variance"], rtol=1e-4, atol=1e-6)
+
+    # SN power-vector updates (UPDATE_OPS parity)
+    np.testing.assert_allclose(
+        np.asarray(new_state["dis"]["dis/l1"]["kernel"]["sn_x"]),
+        post["dis/l1/kernel/SN/in_rand"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state["dis"]["dis/l2"]["kernel"]["sn_x"]),
+        post["dis/l2/kernel/SN/in_rand"], rtol=1e-4, atol=1e-5)

@@ -90,6 +90,17 @@ def main():
         dall = get_squared_dist(tf.concat([tg, tx], axis=0), mode="xx")
         fetches["fn:rand_all"] = rand_mmd_g(dall, b, omega=0.4, max_iter=3)
 
+        # gradients of the rep/rmb losses w.r.t. the scores — validates
+        # gradient semantics (clamp subgradients, off-diagonal masks, the
+        # bounded-kernel gradient gating)
+        for loss_type in ["rep", "rmb", "mmd_g", "rand_g"]:
+            kw = {"omega": 0.45} if loss_type == "rand_g" else {}
+            lg, ld = gl.apply(tg, tx, loss_type, batch_size=b, d=d, **kw)
+            total = lg + 0.5 * ld
+            g_gen, g_x = tf.gradients(total, [tg, tx])
+            fetches[f"grad:{loss_type}:gen"] = g_gen
+            fetches[f"grad:{loss_type}:x"] = g_x
+
         with tf.Session() as sess:
             values = sess.run(fetches)
 

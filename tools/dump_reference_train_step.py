@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Execute ONE full training step with the REFERENCE machinery (Routine +
+GANLoss + two Adam optimizers + UPDATE_OPS, under tf.compat.v1) on a small
+model with fixed inputs, and dump variables before/after — ground truth
+for tests/test_tf1_crossval.py::test_train_step_matches_reference.
+
+This replicates the reference train step exactly (my_sngan.py:259-323 +
+graph_func.py:853-854): gen fwd (BN train-mode), ONE dis pass on
+concat(real, fake), rep loss, per-collection compute_gradients, both
+apply_gradients, and UPDATE_OPS (SN power vectors + BN moving stats) in
+the same run.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--reference", default="/root/reference")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lr-dis", type=float, default=1e-3)
+    p.add_argument("--lr-gen", type=float, default=5e-4)
+    args = p.parse_args()
+
+    import tensorflow.compat.v1 as tf
+    tf.disable_v2_behavior()
+    sys.modules["tensorflow"] = tf
+    sys.path.insert(0, args.reference)
+    if not hasattr(np, "int"):
+        np.int = int
+
+    # tf.layers.batch_normalization shim with TRAINING support: batch-stat
+    # normalization + UPDATE_OPS moving-average assigns (momentum 0.99,
+    # eps 1e-3 — the TF1 defaults the reference relies on).
+    def _bn_shim(inputs, axis=-1, center=True, scale=True,
+                 beta_initializer=None, gamma_initializer=None,
+                 gamma_constraint=None, training=False, renorm=False,
+                 fused=True, name="BN"):
+        ch = inputs.shape.as_list()[axis]
+        bshape = [1] * len(inputs.shape.as_list())
+        bshape[axis] = ch
+        momentum, eps = 0.99, 1e-3
+        with tf.variable_scope(name):
+            gamma = tf.get_variable(
+                "gamma", [ch],
+                initializer=gamma_initializer or tf.ones_initializer()) \
+                if scale else None
+            beta = tf.get_variable(
+                "beta", [ch],
+                initializer=beta_initializer or tf.zeros_initializer()) \
+                if center else None
+            mm = tf.get_variable("moving_mean", [ch],
+                                 initializer=tf.zeros_initializer(),
+                                 trainable=False)
+            mv = tf.get_variable("moving_variance", [ch],
+                                 initializer=tf.ones_initializer(),
+                                 trainable=False)
+            rs = lambda v: None if v is None else tf.reshape(v, bshape)
+            if training:
+                red_axes = [i for i in range(len(inputs.shape.as_list()))
+                            if i != (axis % len(inputs.shape.as_list()))]
+                bmean, bvar = tf.nn.moments(inputs, axes=red_axes)
+                tf.add_to_collection(
+                    tf.GraphKeys.UPDATE_OPS,
+                    tf.assign(mm, momentum * mm + (1 - momentum) * bmean))
+                tf.add_to_collection(
+                    tf.GraphKeys.UPDATE_OPS,
+                    tf.assign(mv, momentum * mv + (1 - momentum) * bvar))
+                return tf.nn.batch_normalization(
+                    inputs, rs(bmean), rs(bvar), rs(beta), rs(gamma), eps)
+            return tf.nn.batch_normalization(
+                inputs, rs(mm), rs(mv), rs(beta), rs(gamma), eps)
+
+    import types
+    tf.layers = types.SimpleNamespace(batch_normalization=_bn_shim)
+
+    from GeneralTools.layer_func import Net, Routine  # noqa: E402
+    from GeneralTools.math_func import GANLoss  # noqa: E402
+
+    rng = np.random.RandomState(args.seed)
+    code_size, batch = 16, 8
+    gen_design = [
+        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [4, 4, 8]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 2, "op": "c", "act": "tanh", "kernel": 3,
+         "strides": 1},
+    ]
+    dis_design = [
+        {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+         "w_nm": "s", "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+    ]
+
+    z_np = rng.randn(batch, code_size).astype(np.float32)
+    x_np = rng.randn(batch, 8, 8, 2).astype(np.float32)
+
+    graph = tf.Graph()
+    with graph.as_default():
+        g_net = Net(gen_design, net_name="gen", data_format="channels_last")
+        gen = Routine(g_net)
+        gen.add_input_layers([batch, code_size], [0])
+        gen.seq_links([0, 1, 2])
+        gen.add_output_layers([2])
+        d_net = Net(dis_design, net_name="dis", data_format="channels_last")
+        dis = Routine(d_net)
+        dis.add_input_layers([2 * batch, 8, 8, 2], [0])
+        dis.seq_links([0, 1])
+        dis.add_output_layers([1])
+
+        z = tf.constant(z_np)
+        x = tf.constant(x_np)
+        gen_out = gen({"x": z}, is_training=True)["x"]
+        dis_in = tf.concat([x, gen_out], axis=0)
+        dis_out = dis({"x": dis_in}, is_training=True)["x"]
+        s_x, s_gen = tf.split(dis_out, 2, axis=0)
+
+        loss_gen, loss_dis = GANLoss(do_summary=False).apply(
+            s_gen, s_x, "rep", batch_size=batch, d=4)
+
+        opt_dis = tf.train.AdamOptimizer(
+            args.lr_dis, beta1=0.5, beta2=0.999, epsilon=1e-8)
+        opt_gen = tf.train.AdamOptimizer(
+            args.lr_gen, beta1=0.5, beta2=0.999, epsilon=1e-8)
+        vars_dis = tf.get_collection(tf.GraphKeys.TRAINABLE_VARIABLES, "dis")
+        vars_gen = tf.get_collection(tf.GraphKeys.TRAINABLE_VARIABLES, "gen")
+        grads_dis = opt_dis.compute_gradients(loss_dis, var_list=vars_dis)
+        grads_gen = opt_gen.compute_gradients(loss_gen, var_list=vars_gen)
+        dis_op = opt_dis.apply_gradients(grads_dis)
+        gen_op = opt_gen.apply_gradients(grads_gen)
+        update_ops = tf.get_collection(tf.GraphKeys.UPDATE_OPS)
+
+        # raw gradients for diagnostics
+        grad_fetches = {}
+        for g, v in grads_dis + grads_gen:
+            if g is not None:
+                grad_fetches["grad:" + v.op.name] = g
+
+        model_vars = [v for v in tf.global_variables()
+                      if "Adam" not in v.op.name and "beta1_power" not in v.op.name
+                      and "beta2_power" not in v.op.name]
+        # Deterministic three-phase execution. The reference's actual
+        # one-sess.run step (graph_func.py:853-854) has a data race: the
+        # UPDATE_OPS assigns to SN in_rand run concurrently with the
+        # sigma-path reads inside the gradient computation (non-resource
+        # variables share buffers), so TF's own post-step values vary run
+        # to run. Phase 1 fetches losses, gradients AND the values the
+        # update ops would assign (computed from pre-step weights — the
+        # intended semantics); phase 2 applies the optimizers only.
+        update_values = {}
+        for op in update_ops:
+            # tf.assign op: inputs = (variable_ref, value)
+            target = op.op.inputs[0].op.name if hasattr(op, "op") else op.inputs[0].op.name
+            update_values[target] = op.op.inputs[1] if hasattr(op, "op") else op.inputs[1]
+
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            before = {v.op.name: sess.run(v) for v in model_vars}
+            lg, ld, grad_vals, upd_vals = sess.run(
+                [loss_gen, loss_dis, grad_fetches, update_values])
+            sess.run([dis_op, gen_op])
+            after = {v.op.name: sess.run(v) for v in model_vars}
+            # post-state ground truth = pre-step-computed update values
+            for name, val in upd_vals.items():
+                after[name] = val
+
+    out = {"__z__": z_np, "__x__": x_np,
+           "__loss_gen__": np.asarray(lg), "__loss_dis__": np.asarray(ld)}
+    for name, val in before.items():
+        out["pre:" + name] = val
+    for name, val in after.items():
+        out["post:" + name] = val
+    for name, val in grad_vals.items():
+        out[name] = val
+    np.savez(args.out, **out)
+    print(f"dumped {len(before)} variables pre/post; "
+          f"loss_gen={lg:.6f} loss_dis={ld:.6f}")
+
+
+if __name__ == "__main__":
+    main()
