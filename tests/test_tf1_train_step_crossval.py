@@ -148,3 +148,63 @@ def test_train_step_matches_reference(tmp_path, key):
     np.testing.assert_allclose(
         np.asarray(new_state["dis"]["dis/l2"]["kernel"]["sn_x"]),
         post["dis/l2/kernel/SN/in_rand"], rtol=1e-4, atol=1e-5)
+
+
+def test_loss_curve_matches_reference_5_steps(tmp_path, key):
+    """5-step loss-curve parity at fixed inputs: the reference's
+    deterministic training loop vs our fused step with the TF1-exact Adam
+    (the BASELINE 'loss-curve parity at fixed seeds' criterion)."""
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train.optim import adam_tf1
+    from mmdgan_tpu.utils.tf1_import import import_reference_checkpoint
+
+    out = str(tmp_path / "ref_step5.npz")
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "dump_reference_train_step.py"),
+         "--out", out, "--steps", "5"],
+        capture_output=True, text=True, timeout=300)
+    if res.returncode != 0:
+        pytest.skip(f"reference step dump failed: {res.stderr[-400:]}")
+    data = np.load(out)
+    pre = {k[4:]: data[k] for k in data.files if k.startswith("pre:")}
+    ref_curve = np.asarray(data["__curve__"])  # [5, 2]
+
+    model = SNGan(ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    params, state, loss_state = model.init(key)
+    params, state = import_reference_checkpoint(
+        model, params, state, pre, data_format="NHWC")
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    opt_d = adam_tf1(1e-3, 0.5, 0.999, 1e-8)
+    opt_g = adam_tf1(5e-4, 0.5, 0.999, 1e-8)
+    od, og = opt_d.init(params["dis"]), opt_g.init(params["gen"])
+
+    @jax.jit
+    def step(params, state, od, og):
+        def loss_fn(pg, pd):
+            lg, ld, new_state, _, _ = model.compute_losses(
+                {"gen": pg, "dis": pd}, state, loss_state, key,
+                {"x": x, "y": None}, train=True,
+                code_batch={"x": z, "y": None})
+            return (lg, ld), new_state
+
+        out_losses, vjp_fn, new_state = jax.vjp(
+            loss_fn, params["gen"], params["dis"], has_aux=True)
+        lg, ld = out_losses
+        g_gen, _ = vjp_fn((jnp.ones(()), jnp.zeros(())))
+        _, g_dis = vjp_fn((jnp.zeros(()), jnp.ones(())))
+        ud, new_od = opt_d.update(g_dis, od, params["dis"])
+        ug, new_og = opt_g.update(g_gen, og, params["gen"])
+        import optax as _optax
+        new_params = {"gen": _optax.apply_updates(params["gen"], ug),
+                      "dis": _optax.apply_updates(params["dis"], ud)}
+        return new_params, new_state, new_od, new_og, lg, ld
+
+    ours = []
+    for i in range(5):
+        params, state, od, og, lg, ld = step(params, state, od, og)
+        ours.append((float(lg), float(ld)))
+    ours = np.asarray(ours)
+    np.testing.assert_allclose(ours, ref_curve, rtol=5e-3, atol=2e-5)

@@ -24,6 +24,7 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr-dis", type=float, default=1e-3)
     p.add_argument("--lr-gen", type=float, default=5e-4)
+    p.add_argument("--steps", type=int, default=1)
     args = p.parse_args()
 
     import tensorflow.compat.v1 as tf
@@ -158,19 +159,33 @@ def main():
             target = op.op.inputs[0].op.name if hasattr(op, "op") else op.inputs[0].op.name
             update_values[target] = op.op.inputs[1] if hasattr(op, "op") else op.inputs[1]
 
+        # explicit feed-assigns so state updates can be applied from the
+        # phase-1 values (deterministic multi-step loop)
+        state_vars = {name: v for v in tf.global_variables()
+                      for name in [v.op.name]
+                      if name in {t for t in update_values}}
+        feed_assigns = {}
+        for name, var in state_vars.items():
+            ph = tf.placeholder(tf.float32, var.shape)
+            feed_assigns[name] = (tf.assign(var, ph), ph)
+
+        losses_curve = []
         with tf.Session() as sess:
             sess.run(tf.global_variables_initializer())
             before = {v.op.name: sess.run(v) for v in model_vars}
-            lg, ld, grad_vals, upd_vals = sess.run(
-                [loss_gen, loss_dis, grad_fetches, update_values])
-            sess.run([dis_op, gen_op])
+            for step_i in range(args.steps):
+                lg, ld, grad_vals, upd_vals = sess.run(
+                    [loss_gen, loss_dis, grad_fetches, update_values])
+                losses_curve.append((lg, ld))
+                sess.run([dis_op, gen_op])
+                for name, val in upd_vals.items():
+                    op, ph = feed_assigns[name]
+                    sess.run(op, feed_dict={ph: val})
             after = {v.op.name: sess.run(v) for v in model_vars}
-            # post-state ground truth = pre-step-computed update values
-            for name, val in upd_vals.items():
-                after[name] = val
 
     out = {"__z__": z_np, "__x__": x_np,
-           "__loss_gen__": np.asarray(lg), "__loss_dis__": np.asarray(ld)}
+           "__loss_gen__": np.asarray(lg), "__loss_dis__": np.asarray(ld),
+           "__curve__": np.asarray(losses_curve)}
     for name, val in before.items():
         out["pre:" + name] = val
     for name, val in after.items():
