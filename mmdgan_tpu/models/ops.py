@@ -436,8 +436,12 @@ class ParametricOp:
             # normalize by RMS over channels (layer_func.py:462-477)
             y = x / jnp.sqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + EPSI)
         elif op == "project":
-            kernel = params["kernel"] if multiplier is None else params["kernel"] * multiplier
-            selected = kernel[label]  # [N, D]
+            # NOTE: the reference creates an SN power vector for project
+            # kernels (layer_func.py:792) but deliberately excludes project
+            # from the multiplier application (layer_func.py:832-833,
+            # 885-887) — the projection kernel is applied RAW even with
+            # w_nm='s'. We match that (verified in test_tf1_crossval).
+            selected = params["kernel"][label]  # [N, D]
             y = jnp.sum(selected * x, axis=1, keepdims=True)
         elif op in ("c_bias", "cb"):
             y = x + params["c_bias"][label]

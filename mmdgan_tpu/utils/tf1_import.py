@@ -132,7 +132,18 @@ class TF1CheckpointImporter:
                 elif d["op"] == "k":
                     p["kernel"] = jnp.asarray(self._get(variables, f"{base}/kernel"))
                 elif d["op"] in ("b", "bias"):
-                    p["bias"] = jnp.asarray(self._get(variables, f"{base}/bias"))
+                    b = self._get(variables, f"{base}/bias")
+                    # a flat bias applied just before this layer's image
+                    # out_reshape lives in the reference's C-major feature
+                    # order; permute to our H-major order (same rule as
+                    # dense kernel columns)
+                    if (self.nchw and b.ndim == 1
+                            and layer.design.get("out_reshape") is not None
+                            and len(layer.design["out_reshape"]) == 3):
+                        c, h, wd = layer.design["out_reshape"]
+                        if b.shape[0] == c * h * wd:
+                            b = b[_col_perm_chw_to_hwc(c, h, wd)]
+                    p["bias"] = jnp.asarray(b)
                 elif d["op"] in ("bn",):
                     bn = f"{base}/BN"
                     if "gamma" in p:
@@ -144,13 +155,72 @@ class TF1CheckpointImporter:
                     s["moving_var"] = jnp.asarray(
                         self._get(variables, f"{bn}/moving_variance"))
                 elif d["op"] == "project":
-                    p["kernel"] = jnp.asarray(self._get(variables, f"{base}/kernel"))
+                    w = self._get(variables, f"{base}/kernel")
+                    if self.nchw:
+                        # columns index flattened image features when the
+                        # projected input came from a flatten (rare; same
+                        # rule as dense rows)
+                        if (prev_layer is not None
+                                and prev_layer.design.get("out_reshape") is not None
+                                and len(prev_layer.design["out_reshape"]) == 1
+                                and len(prev_layer.pre_out_reshape_shape) == 3):
+                            h, wd, c = prev_layer.pre_out_reshape_shape
+                            w = w[:, _col_perm_chw_to_hwc(c, h, wd)]
+                    p["kernel"] = jnp.asarray(w)
+                elif d["op"] == "cbn":
+                    scale = self._get(variables, f"{base}/scale")
+                    offset = self._get(variables, f"{base}/offset")
+                    if self.nchw:  # [num_class, C, 1, 1] -> [num_class, 1, 1, C]
+                        scale = np.transpose(scale, (0, 2, 3, 1))
+                        offset = np.transpose(offset, (0, 2, 3, 1))
+                    p["scale"] = jnp.asarray(scale)
+                    p["offset"] = jnp.asarray(offset)
+                    s["moving_mean"] = jnp.asarray(
+                        self._get(variables, f"{base}/BN/moving_mean"))
+                    s["moving_var"] = jnp.asarray(
+                        self._get(variables, f"{base}/BN/moving_variance"))
+                elif d["op"] in ("c_bias", "cb"):
+                    cb = self._get(variables, f"{base}/c_bias")
+                    if self.nchw and cb.ndim == 4:
+                        cb = np.transpose(cb, (0, 2, 3, 1))
+                    p["c_bias"] = jnp.asarray(cb)
+                elif d["op"] == "bcb":
+                    p["bias"] = jnp.asarray(self._get(variables, f"{base}/bias"))
+                    cb = self._get(variables, f"{base}/c_bias")
+                    if self.nchw and cb.ndim == 4:
+                        cb = np.transpose(cb, (0, 2, 3, 1))
+                    p["c_bias"] = jnp.asarray(cb)
+                elif d["op"] == "dcd":
+                    p["kernel"] = jnp.asarray(self._dense_kernel(
+                        variables, f"{base}/kernel", layer, prev_layer))
+                    p["c_kernel"] = jnp.asarray(
+                        self._get(variables, f"{base}/c_kernel"))
+                elif d["op"] == "dck":
+                    p["kernel"] = jnp.asarray(self._dense_kernel(
+                        variables, f"{base}/kernel", layer, prev_layer))
+                    p["c_kernel"] = jnp.asarray(
+                        self._get(variables, f"{base}/c_kernel"))
+                elif d["op"] in ("cck", "tcck"):
+                    w = self._get(variables, f"{base}/kernel")
+                    if d["op"] == "tcck":
+                        w = _map_tc_kernel(w)
+                    ck = self._get(variables, f"{base}/c_kernel")
+                    if self.nchw and ck.ndim == 4:
+                        ck = np.transpose(ck, (0, 2, 3, 1))
+                    p["kernel"] = jnp.asarray(w)
+                    p["c_kernel"] = jnp.asarray(ck)
                 else:
                     raise NotImplementedError(
                         f"TF1 import for op '{d['op']}' ({base}) not supported")
                 if "sn_x" in s:
-                    s["sn_x"] = jnp.asarray(self._sn_vector(
-                        variables, f"{base}/SN/in_rand", s["sn_x"].shape))
+                    sn_name = f"{base}/SN/in_rand"
+                    if sn_name in variables:
+                        s["sn_x"] = jnp.asarray(self._sn_vector(
+                            variables, sn_name, s["sn_x"].shape))
+                    # else: the reference hit a closed-form sigma shortcut
+                    # (math_func.py:700-721) and created no power vector;
+                    # ours is vestigial in that case too (closed form wins
+                    # in spectral_norm_apply) — keep the local init.
                 if p:
                     new_params.setdefault(scope, {})[op_name] = p
                 if s:

@@ -143,10 +143,13 @@ def test_full_cifar_architecture_matches_reference(tmp_path, key):
     x = jnp.asarray(data["__x__"])
     out_g, _ = gen.apply(pg, sg, {"x": z}, train=False)
     out_d, _ = dis.apply(pd, sd, {"x": x}, train=False)
+    # atol 1e-3: with every variable randomized (incl. small
+    # moving_variance) TF-vs-XLA conv reduction order differences
+    # accumulate to ~6e-4 through the 8-layer float32 net
     np.testing.assert_allclose(
-        np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-3, atol=1e-4)
+        np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(
-        np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-3, atol=1e-4)
+        np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-3, atol=1e-3)
 
 
 def test_losses_match_reference_code(tmp_path):
@@ -241,3 +244,54 @@ def test_loss_gradients_match_reference_code(tmp_path):
         np.testing.assert_allclose(
             np.asarray(g_x), data[f"grad:{loss_type}:x"],
             rtol=1e-3, atol=1e-5, err_msg=f"{loss_type}:x")
+
+
+def test_conditional_ops_match_reference(tmp_path, key):
+    """Conditional capability surface: cbn generator, cck/dck layers and a
+    projection discriminator — reference graph vs ours with imported
+    weights (all variables randomized in the dump)."""
+    from mmdgan_tpu.models.network import Net, Routine
+    from mmdgan_tpu.utils.tf1_import import TF1CheckpointImporter
+
+    data, variables = dump("cond_nhwc", tmp_path)
+    gen_design = [
+        {"name": "l1", "out": 2 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [2, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu",
+         "act_nm": "cbn", "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 2, "op": "cck", "act": "tanh", "kernel": 3,
+         "strides": 1},
+    ]
+    dis_design = [
+        {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+         "w_nm": "s", "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "dck", "act": "lrelu",
+         "w_nm": "s", "act_k": 1.0},
+        {"name": "l3", "out": 1, "op": "d", "type": "project",
+         "w_nm": "s", "act_k": 1.0},
+    ]
+
+    def make(design, name, input_spec):
+        net = Net(design, net_name=name, num_class=3, compute_dtype=jnp.float32)
+        r = Routine(net)
+        r.add_input_layers(input_spec, [0])
+        r.seq_links(list(range(net.num_layers)))
+        r.add_output_layers([net.num_layers - 1])
+        return r
+
+    gen = make(gen_design, "gen", [16])
+    dis = make(dis_design, "dis", [2, 8, 8])
+    pg, sg = gen.init(key)
+    pd, sd = dis.init(jax.random.fold_in(key, 1))
+    pg, sg = TF1CheckpointImporter(gen, "NHWC").apply(pg, sg, variables)
+    pd, sd = TF1CheckpointImporter(dis, "NHWC").apply(pd, sd, variables)
+
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    y = jnp.asarray(data["__y__"])
+    out_g, _ = gen.apply(pg, sg, {"x": z, "y": y}, train=False)
+    out_d, _ = dis.apply(pd, sd, {"x": x, "y": y}, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-4, atol=5e-5)

@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense", "cifar_nhwc"])
+    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense", "cifar_nhwc", "cond_nhwc"])
     p.add_argument("--out", required=True)
     p.add_argument("--reference", default="/root/reference")
     p.add_argument("--seed", type=int, default=0)
@@ -87,6 +87,29 @@ def main():
              "out_reshape": [4 * 4 * 8]},
             {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
         ]
+    elif args.mode == "cond_nhwc":
+        # conditional ops: cbn generator, cck/dck layers, projection D
+        data_format = "channels_last"
+        code_size, batch = 16, 6
+        num_class = 3
+        image_shape = [8, 8, 2]
+        gen_design = [
+            {"name": "l1", "out": 2 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [4, 4, 2]},
+            {"name": "l2", "out": 4, "op": "tc", "act": "relu",
+             "act_nm": "cbn", "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 2, "op": "cck", "act": "tanh", "kernel": 3,
+             "strides": 1},
+        ]
+        dis_design = [
+            {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+             "w_nm": "s", "kernel": 3, "strides": 2,
+             "out_reshape": [4 * 4 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "act": "lrelu",
+             "w_nm": "s", "act_k": 1.0},
+            {"name": "l3", "out": 1, "op": "d", "type": "project",
+             "w_nm": "s", "act_k": 1.0},
+        ]
     elif args.mode == "cifar_nhwc":
         # the FULL my_test_cifar.py architecture (channels_last reshapes)
         data_format = "channels_last"
@@ -134,15 +157,21 @@ def main():
             {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
         ]
 
+    num_class = locals().get("num_class", 0)
+    y_np = (rng.randint(0, max(num_class, 1), size=(batch, 1)).astype(np.int32)
+            if num_class >= 2 else None)
+
     graph = tf.Graph()
     with graph.as_default():
-        g_net = Net(gen_design, net_name="gen", data_format=data_format)
+        g_net = Net(gen_design, net_name="gen", data_format=data_format,
+                    num_class=num_class)
         gen = Routine(g_net)
         gen.add_input_layers([batch, code_size], [0])
         gen.seq_links(list(range(g_net.num_layers)))
         gen.add_output_layers([g_net.num_layers - 1])
 
-        d_net = Net(dis_design, net_name="dis", data_format=data_format)
+        d_net = Net(dis_design, net_name="dis", data_format=data_format,
+                    num_class=num_class)
         dis = Routine(d_net)
         dis.add_input_layers([batch] + image_shape, [0])
         dis.seq_links(list(range(d_net.num_layers)))
@@ -150,17 +179,35 @@ def main():
 
         z = tf.constant(rng.randn(batch, code_size).astype(np.float32))
         x = tf.constant(rng.randn(batch, *image_shape).astype(np.float32))
-        gen_out = gen({"x": z}, is_training=False)["x"]
-        dis_out = dis({"x": x}, is_training=False)["x"]
+        gin = {"x": z}
+        din = {"x": x}
+        if y_np is not None:
+            y = tf.constant(y_np)
+            gin["y"] = y
+            din["y"] = y
+        gen_out = gen(gin, is_training=False)["x"]
+        dis_out = dis(din, is_training=False)["x"]
 
         with tf.Session() as sess:
             sess.run(tf.global_variables_initializer())
+            # randomize EVERY variable (zero-initialized conditional kernels
+            # and BN statistics would otherwise test trivial paths)
+            for v in tf.global_variables():
+                shape = [int(s) for s in v.shape]
+                val = rng.randn(*shape).astype(np.float32) * 0.3
+                if "moving_variance" in v.op.name:
+                    val = np.abs(val) + 0.5
+                if "scale" in v.op.name.split("/")[-1]:
+                    val = 1.0 + val * 0.2
+                sess.run(v.assign(val))
             variables = {v.op.name: sess.run(v) for v in tf.global_variables()}
             z_v, x_v, g_v, d_v = sess.run(
                 [z, x, gen_out, dis_out])
 
     out = {"__z__": z_v, "__x__": x_v, "__gen_out__": g_v, "__dis_out__": d_v,
            "__mode__": np.asarray(args.mode)}
+    if y_np is not None:
+        out["__y__"] = y_np
     for name, val in variables.items():
         out["var:" + name] = val
     np.savez(args.out, **out)
