@@ -191,17 +191,37 @@ class SNGan:
         batch_size: Optional[int] = None,
         code_batch: Optional[Dict] = None,
         clip: bool = True,
+        labels=None,
     ) -> Array:
-        """Eval-mode generation (my_sngan.py:324-329 + clip at :628)."""
+        """Eval-mode generation (my_sngan.py:324-329 + clip at :628).
+
+        ``labels``: int scalar or [N]/[N, 1] int array — the class(es) to
+        condition on (conditional models). Ignored if ``code_batch`` is
+        given (put the labels in ``code_batch['y']`` instead).
+        """
         if code_batch is None:
-            code_batch = self.sample_codes(rng, batch_size)
+            if labels is not None and batch_size is None:
+                y = jnp.asarray(labels)
+                if y.ndim >= 1:
+                    batch_size = y.shape[0]
+            code_batch = self.sample_codes(rng, batch_size, code_y=labels)
         gen_batch, _ = self.Gen.apply(
             params["gen"], state["gen"], code_batch, train=False
         )
         x = gen_batch["x"]
         return jnp.clip(x, -1.0, 1.0) if clip else x
 
-    def discriminate(self, params, state, batch, train: bool = False):
+    def discriminate(self, params, state, batch, train: bool = False,
+                     labels=None):
+        """Score a batch. ``batch`` is either a {'x', 'y'} dict or a raw
+        image array (pass class labels via ``labels`` in that case)."""
+        if not isinstance(batch, dict):
+            y = None
+            if labels is not None:
+                y = jnp.asarray(labels)
+                if y.ndim == 1:
+                    y = y[:, None]
+            batch = {"x": batch, "y": y}
         out, _ = self.Dis.apply(params["dis"], state["dis"], batch, train=train)
         return out["x"]
 

@@ -81,3 +81,26 @@ def test_conditional_scores_depend_on_label(key):
     s0 = model.discriminate(params, state, {"x": x, "y": jnp.zeros((5, 1), jnp.int32)})
     s1 = model.discriminate(params, state, {"x": x, "y": jnp.ones((5, 1), jnp.int32)})
     assert not np.allclose(np.asarray(s0), np.asarray(s1))
+
+
+def test_generate_labels_kwarg(key):
+    """generate(labels=...) convenience: int, [N] and [N,1] forms."""
+    model = SNGan(COND_ARCH, num_class=NUM_CLASS, loss_type="hinge")
+    params, state, _ = model.init(key)
+    imgs = model.generate(params, state, key, batch_size=5, labels=3)
+    assert imgs.shape == (5, 8, 8, 1)
+    y = jnp.asarray([0, 1, 2, 3])
+    a = model.generate(params, state, key, labels=y)  # batch from labels
+    b = model.generate(params, state, key, labels=y[:, None], batch_size=4)
+    assert a.shape == (4, 8, 8, 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_discriminate_raw_array_with_labels(key):
+    model = SNGan(COND_ARCH, num_class=NUM_CLASS, loss_type="hinge")
+    params, state, _ = model.init(key)
+    x = jax.random.normal(key, (5, 8, 8, 1))
+    y = jnp.full((5,), 2, jnp.int32)
+    s_raw = model.discriminate(params, state, x, labels=y)
+    s_dict = model.discriminate(params, state, {"x": x, "y": y[:, None]})
+    np.testing.assert_allclose(np.asarray(s_raw), np.asarray(s_dict))
