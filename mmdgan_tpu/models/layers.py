@@ -484,14 +484,17 @@ class Layer:
         h1, w1, c2 = att_f.shape[1:]
         h2, w2, _ = att_g.shape[1:]
         c1 = att_h.shape[-1]
-        f_flat = att_f.reshape(n, h1 * w1, c2)
-        g_flat = att_g.reshape(n, h2 * w2, c2)
+        # logits + softmax in f32 (bf16 softmax loses attention contrast);
+        # the attention map itself is in [0,1] and is carried back in the
+        # activation dtype for the bandwidth-heavy second einsum
+        f_flat = att_f.reshape(n, h1 * w1, c2).astype(jnp.float32)
+        g_flat = att_g.reshape(n, h2 * w2, c2).astype(jnp.float32)
         if self.design["type"] in ("nl_dist", "nl_pool_dist"):
             dist_fg = get_batch_squared_dist(f_flat, g_flat, axis=2, mode="xy")
             logits = -dist_fg / float(c2)  # N x HW1 x HW2
         else:
             logits = jnp.einsum("npc,nqc->npq", f_flat, g_flat) / np.sqrt(c2)
-        att_map = jax.nn.softmax(logits, axis=2)
+        att_map = jax.nn.softmax(logits, axis=2).astype(att_h.dtype)
         h_flat = att_h.reshape(n, h2 * w2, c1)
         o = jnp.einsum("npq,nqc->npc", att_map, h_flat)
         o = o.reshape(n, h1, w1, c1)

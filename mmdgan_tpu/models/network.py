@@ -312,9 +312,17 @@ class Routine:
             else:
                 raise RuntimeError(f"unknown handler {handler}")
 
+        def as_f32(o):
+            # routine outputs (scores, images) always f32: the MMD loss
+            # computes Gram matrices in HIGHEST precision from them, and
+            # users receive f32 regardless of the internal activation dtype
+            o = dict(o)
+            o["x"] = o["x"].astype(jnp.float32)
+            return o
+
         if len(self.output_layer_indices) == 1:
-            return outs[self.output_layer_indices[0]], new_state
-        return {i: outs[i] for i in self.output_layer_indices}, new_state
+            return as_f32(outs[self.output_layer_indices[0]]), new_state
+        return {i: as_f32(outs[i]) for i in self.output_layer_indices}, new_state
 
     def __call__(self, params, state, routine_inputs, train=True):
         return self.apply(params, state, routine_inputs, train)

@@ -330,32 +330,35 @@ class ParametricOp:
 
     # ------------------------------------------------------------------
     # Mixed precision: inputs/kernels cast to compute_dtype (bf16 on TPU,
-    # MXU accumulates in f32 internally), output cast back to f32. The
-    # casts are separate ops so AD pulls cotangents through cleanly.
+    # MXU accumulates in f32 internally). Op OUTPUTS also stay in
+    # compute_dtype — inter-op activations in HBM are bf16, which matters
+    # because the train step is bandwidth-bound (~87% of HBM roofline at
+    # f32 activations). Elementwise work that mixes in f32 params promotes
+    # locally to f32 inside an XLA fusion (no HBM traffic) and the op tail
+    # casts back. f32 islands: BN statistics, attention softmax, routine
+    # outputs (scores/images).
     def _conv(self, x, w, strides, padding, dilation, feature_group_count=1):
         cd = self.compute_dtype
-        y = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             x.astype(cd), w.astype(cd),
             window_strides=(strides, strides), padding=padding,
             rhs_dilation=(dilation, dilation) if dilation > 1 else None,
             dimension_numbers=_DIMSPEC,
             feature_group_count=feature_group_count,
         )
-        return y.astype(jnp.float32)
 
     def _conv_t(self, x, w, strides, padding, dilation):
         cd = self.compute_dtype
-        y = jax.lax.conv_transpose(
+        return jax.lax.conv_transpose(
             x.astype(cd), w.astype(cd),
             strides=(strides, strides), padding=padding,
             rhs_dilation=(dilation, dilation) if dilation > 1 else None,
             dimension_numbers=_DIMSPEC,
         )
-        return y.astype(jnp.float32)
 
     def _dense(self, x, w):
         cd = self.compute_dtype
-        return jnp.matmul(x.astype(cd), w.astype(cd)).astype(jnp.float32)
+        return jnp.matmul(x.astype(cd), w.astype(cd))
 
     # ------------------------------------------------------------------
     def apply(
@@ -470,7 +473,7 @@ class ParametricOp:
         else:
             raise ValueError(f"{self.name_in_err}: op {op} not supported")
 
-        y = y.astype(jnp.float32)
+        y = y.astype(self.compute_dtype)
         assert y.shape[1:] == tuple(self.output_shape), (
             f"{self.name_in_err}: output shape {y.shape[1:]} does not match "
             f"declared {self.output_shape}"
@@ -479,6 +482,9 @@ class ParametricOp:
 
     def _batch_norm(self, params, state, new_state, x, train, label, op):
         d = self.design
+        # statistics and normalization in f32 regardless of activation
+        # dtype (elementwise, fuses with the producing conv — no HBM cost)
+        x = x.astype(jnp.float32)
         axes = tuple(range(x.ndim - 1))  # (N,) or (N, H, W)
         if train:
             mean = jnp.mean(x, axis=axes)

@@ -298,8 +298,33 @@ class SNGan:
         __gpu_task__'s code_batch parameter, my_sngan.py:261).
         Returns (loss_gen, loss_dis, new_state, new_loss_state, aux).
         """
-        batch_size = data_batch["x"].shape[0]
         rng_code, rng_loss, rng_gp = jax.random.split(rng, 3)
+        gen_out, gen_state, code_batch = self.gen_stage(
+            params["gen"], state, rng_code, data_batch,
+            train=train, code_batch=code_batch)
+        loss_gen, loss_dis, dis_state, new_loss_state, aux = self.dis_stage(
+            params["dis"], gen_out["x"], gen_out.get("y"), state, loss_state,
+            rng_loss, rng_gp, data_batch)
+        new_state = {"gen": gen_state, "dis": dis_state}
+        return loss_gen, loss_dis, new_state, new_loss_state, aux
+
+    def gen_stage(
+        self,
+        params_gen: Dict,
+        state: Dict,
+        rng_code: Array,
+        data_batch: Dict,
+        train: bool = True,
+        code_batch: Optional[Dict] = None,
+    ):
+        """Generator half of the training computation.
+
+        Split out from ``compute_losses`` so the train step can take a
+        vjp of each stage separately: the discriminator pull then stops
+        at the generated images instead of wastefully backpropagating
+        through the whole generator. Returns (gen_out, gen_state,
+        code_batch)."""
+        batch_size = data_batch["x"].shape[0]
         if code_batch is None:
             if self.sample_same_class and data_batch.get("y") is not None:
                 code_batch = self.sample_codes(
@@ -307,11 +332,30 @@ class SNGan:
             else:
                 code_batch = self.sample_codes(rng_code, batch_size)
         gen_out, gen_state = self.Gen.apply(
-            params["gen"], state["gen"], code_batch, train=train
+            params_gen, state["gen"], code_batch, train=train
         )
+        return gen_out, gen_state, code_batch
+
+    def dis_stage(
+        self,
+        params_dis: Dict,
+        gen_x: Array,
+        code_y: Optional[Array],
+        state: Dict,
+        loss_state: LossState,
+        rng_loss: Array,
+        rng_gp: Array,
+        data_batch: Dict,
+    ):
+        """Discriminator + loss half of the training computation: ONE D
+        pass on concat(real, fake) (my_sngan.py:278-289), penalties, and
+        the GANLoss dispatch. Differentiable in (params_dis, gen_x).
+        Returns (loss_gen, loss_dis, dis_state, new_loss_state, aux)."""
+        batch_size = data_batch["x"].shape[0]
+        gen_out = {"x": gen_x, "y": code_y}
         dis_in = self.concat_two_batches(data_batch, gen_out)
         dis_out, dis_state = self.Dis.apply(
-            params["dis"], state["dis"], dis_in, train=True
+            params_dis, state["dis"], dis_in, train=True
         )
         s_x, s_gen = jnp.split(dis_out["x"], 2, axis=0)
 
@@ -319,17 +363,17 @@ class SNGan:
         dis_scale = None
         if self.loss_type in ("rep_gp", "rmb_gp", "fixed_g_gp", "fixed_t_gp"):
             dis_penalty = self.gp_weight * self.mmd_gradient_penalty(
-                params["dis"], state, rng_gp, data_batch["x"], gen_out["x"],
+                params_dis, state, rng_gp, data_batch["x"], gen_out["x"],
                 s_x, s_gen, mode=self.loss_type, labels=dis_in.get("y"),
             )
         elif self.loss_type == "wasserstein":
             dis_penalty = self.gp_weight * self.gradient_penalty(
-                params["dis"], state, rng_gp, data_batch["x"], gen_out["x"],
+                params_dis, state, rng_gp, data_batch["x"], gen_out["x"],
                 labels=dis_in.get("y"),
             )
         elif self.loss_type in ("rep_ds", "rmb_ds"):
             dis_scale = self.mmd_gradient_scale(
-                params["dis"], state, data_batch["x"], labels=data_batch.get("y"))
+                params_dis, state, data_batch["x"], labels=data_batch.get("y"))
 
         loss_gen, loss_dis, new_loss_state = self.loss_hp.apply(
             s_gen, s_x, self.loss_type,
@@ -337,13 +381,12 @@ class SNGan:
             dis_penalty=dis_penalty, dis_scale=dis_scale,
             rng=rng_loss, state=loss_state,
         )
-        new_state = {"gen": gen_state, "dis": dis_state}
         aux = {
             "s_x_mean": jnp.mean(s_x),
             "s_gen_mean": jnp.mean(s_gen),
             "x_gen_abs_mean": jnp.mean(jnp.abs(gen_out["x"])),
         }
-        return loss_gen, loss_dis, new_state, new_loss_state, aux
+        return loss_gen, loss_dis, dis_state, new_loss_state, aux
 
     # ------------------------------------------------------------------
     # evaluation (my_sngan.py:499-649)

