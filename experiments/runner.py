@@ -63,6 +63,13 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
                    help="fuse K train steps per device launch (lax.scan); "
                         "amortizes dispatch latency, requires a constant "
                         "update schedule")
+    p.add_argument("--device-dataset", action="store_true",
+                   help="upload the whole dataset to HBM once and sample "
+                        "batches on device (zero per-step host transfer; "
+                        "for datasets that fit, e.g. CIFAR/CelebA)")
+    p.add_argument("--host-decode", action="store_true",
+                   help="scale images to f32 on the host instead of the "
+                        "device (device decode moves 4x fewer bytes)")
     p.add_argument("--use-pallas", action="store_true",
                    help="fused Pallas MMD loss kernel (TPU)")
     return p
@@ -164,6 +171,7 @@ def run_experiment(
             batch_size=args.batch_size,
             file_repeat=file_repeat,
             shuffle_file=shuffle_file,
+            device_decode=not args.host_decode,
         ).shape2image(c, h, w)
         return pipe.next_batch(args.sample_same_class)
 
@@ -179,16 +187,39 @@ def run_experiment(
 
     code_x = np.random.RandomState(args.seed).randn(400, model.code_size).astype(np.float32)
 
+    device_data = None
+    if args.device_dataset and not args.synthetic_data:
+        pipe = ReadTFRecords(
+            filename, num_labels=0 if args.num_class < 2 else 1,
+            batch_size=args.batch_size, device_decode=True,
+        ).shape2image(c, h, w)
+        device_data = pipe.load_all()
+        print(f"Device-resident dataset: x{device_data['x'].shape} "
+              f"{device_data['x'].dtype} "
+              f"({device_data['x'].nbytes / 1e6:.0f} MB to HBM)")
+
     for chunk in range(args.chunks):
-        ts = agent.train(
-            step_fn, ts, make_data_iter(),
-            max_step=args.steps_per_chunk if debug_mode is not True else args.debug_step,
-            step_per_epoch=step_per_epoch,
-            dp=dp,
-            summary_image_fn=lambda ts: model.generate(
-                ts.params, ts.net_state, rng=jax.random.PRNGKey(chunk), batch_size=8),
-            steps_per_call=args.steps_per_call,
-        )
+        if device_data is not None:
+            ts = agent.train_device_data(
+                model, opt_d, opt_g, ts, device_data,
+                max_step=args.steps_per_chunk if debug_mode is not True else args.debug_step,
+                step_per_epoch=step_per_epoch,
+                batch_size=args.batch_size,
+                steps_per_call=max(args.steps_per_call, 16),
+                summary_image_fn=lambda ts: model.generate(
+                    ts.params, ts.net_state, rng=jax.random.PRNGKey(chunk), batch_size=8),
+                seed=args.seed + chunk,
+            )
+        else:
+            ts = agent.train(
+                step_fn, ts, make_data_iter(),
+                max_step=args.steps_per_chunk if debug_mode is not True else args.debug_step,
+                step_per_epoch=step_per_epoch,
+                dp=dp,
+                summary_image_fn=lambda ts: model.generate(
+                    ts.params, ts.net_state, rng=jax.random.PRNGKey(chunk), batch_size=8),
+                steps_per_call=args.steps_per_call,
+            )
         if debug_mode is None:
             return ts
         host_ts = jax.device_get(ts)

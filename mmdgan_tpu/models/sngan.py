@@ -31,6 +31,19 @@ from mmdgan_tpu.ops.distance import get_squared_dist
 from mmdgan_tpu.ops.kernels import witness_g, witness_mix_g, witness_mix_t
 from mmdgan_tpu.ops.losses import GANLoss, LossState
 
+
+def decode_image_batch(data_batch: Dict) -> Dict:
+    """Device-side image decode: uint8 batches (from
+    ``ReadTFRecords(device_decode=True)``) become f32 in [-1, 1] on
+    device. The host->device link then carries 4x fewer bytes. f32
+    batches pass through untouched — numerics are identical to host
+    decoding (same x/127.5-1 in f32)."""
+    x = data_batch.get("x")
+    if x is not None and x.dtype == jnp.uint8:
+        data_batch = dict(data_batch)
+        data_batch["x"] = x.astype(jnp.float32) / 127.5 - 1.0
+    return data_batch
+
 Array = jnp.ndarray
 
 
@@ -298,6 +311,7 @@ class SNGan:
         __gpu_task__'s code_batch parameter, my_sngan.py:261).
         Returns (loss_gen, loss_dis, new_state, new_loss_state, aux).
         """
+        data_batch = decode_image_batch(data_batch)
         rng_code, rng_loss, rng_gp = jax.random.split(rng, 3)
         gen_out, gen_state, code_batch = self.gen_stage(
             params["gen"], state, rng_code, data_batch,
@@ -351,6 +365,7 @@ class SNGan:
         pass on concat(real, fake) (my_sngan.py:278-289), penalties, and
         the GANLoss dispatch. Differentiable in (params_dis, gen_x).
         Returns (loss_gen, loss_dis, dis_state, new_loss_state, aux)."""
+        data_batch = decode_image_batch(data_batch)
         batch_size = data_batch["x"].shape[0]
         gen_out = {"x": gen_x, "y": code_y}
         dis_in = self.concat_two_batches(data_batch, gen_out)

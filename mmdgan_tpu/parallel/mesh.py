@@ -122,31 +122,36 @@ class DataParallel:
         return jax.device_get(x)
 
     def prefetch(self, data_iter, size: int = 2, multi: bool = False):
-        """Overlap host->device transfer with compute: keep ``size``
-        batches already on device ahead of consumption (device_put is
-        async; holding references keeps the transfers in flight).
+        """Overlap host->device transfer with compute: a background
+        thread runs ``device_put`` and keeps up to ``size`` batches on
+        device ahead of consumption. The thread matters — on a tunneled
+        chip ``device_put`` blocks for the full transfer, so putting from
+        the consuming thread serializes transfer and compute.
 
         :param data_iter: host batch iterator
         :param multi: True for [K, B, ...] stacked batches
         """
-        import collections
+        import queue as _queue
+        import threading
 
         put = self.shard_multi_batch if multi else self.shard_batch
-        queue = collections.deque()
-        it = iter(data_iter)
+        q: "_queue.Queue" = _queue.Queue(maxsize=size)
+        stop = object()
 
-        def filled():
+        def producer():
             try:
-                while len(queue) < size:
-                    queue.append(put(next(it)))
-            except StopIteration:
-                pass
+                for b in data_iter:
+                    q.put(put(b))
+            finally:
+                q.put(stop)
 
-        filled()
-        while queue:
-            batch = queue.popleft()
-            filled()
-            yield batch
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
 
 
 def average_tower_grads(tower_grads):

@@ -12,9 +12,10 @@ TPU-first details:
   the reference's two ``compute_gradients`` on one graph
   (my_sngan.py:301-305), with no duplicated compute.
 - Imbalanced update schedules (graph_func.py:876-942) are traced booleans:
-  ``lax.cond`` gates each optimizer's update so a single compiled step
-  serves every schedule (no recompilation per mode). When an update is
-  skipped, optimizer slots are untouched — matching "op not run" TF
+  an elementwise ``jnp.where`` gates each optimizer's update so a single
+  compiled step serves every schedule (no recompilation per mode; no
+  per-scan-iteration buffer copies, unlike ``lax.cond``). When an update
+  is skipped, optimizer slots are untouched — matching "op not run" TF
   semantics; SN/BN state still updates every step like UPDATE_OPS did.
 - Data parallelism: the step is written with global-batch semantics; under
   ``jit`` with a sharded batch over a Mesh (see ``parallel/mesh.py``) XLA
@@ -170,6 +171,54 @@ def build_multi_step(
 
         final_ts, metrics = jax.lax.scan(body, ts, batches, length=num_steps)
         return final_ts, metrics
+
+    return multi_step
+
+
+def build_device_data_step(
+    model: SNGan,
+    opt_dis: optax.GradientTransformation,
+    opt_gen: optax.GradientTransformation,
+    num_steps: int,
+    batch_size: int,
+) -> Callable:
+    """K train steps per launch with batches gathered ON DEVICE from an
+    HBM-resident dataset — zero per-step host->device data transfer.
+
+    For datasets that fit in HBM (CIFAR uint8 = 150 MB, CelebA 64x64 =
+    2.4 GB), upload once and sample uniformly at random inside the scan.
+    On a tunneled chip the host link (~0.08 GB/s) otherwise caps
+    real-data training at ~60 (f32 feed) / ~220 (uint8 feed) steps/s vs
+    ~460 steps/s compute; this path removes the data link entirely.
+
+    Sampling is uniform-with-replacement per step (the reference's
+    10k-element shuffle buffer over epoch repeats, input_func.py:905-916,
+    approximates the same stationary distribution).
+
+    Returns ``fn(ts, data_x, data_y, rng, do_dis, do_gen) ->
+    (new_ts, new_rng, metrics)``; ``data_x`` is the full [N, H, W, C]
+    (uint8 or f32) dataset already on device, ``data_y`` [N, 1] labels or
+    None.
+    """
+    step = build_train_step(model, opt_dis, opt_gen)
+
+    def multi_step(ts, data_x, data_y, rng, do_dis: Array, do_gen: Array):
+        n = data_x.shape[0]
+
+        def body(carry, _):
+            ts, rng = carry
+            rng, r_idx = jax.random.split(rng)
+            idx = jax.random.randint(r_idx, (batch_size,), 0, n)
+            batch = {
+                "x": jnp.take(data_x, idx, axis=0),
+                "y": None if data_y is None else jnp.take(data_y, idx, axis=0),
+            }
+            new_ts, metrics = step(ts, batch, do_dis, do_gen)
+            return (new_ts, rng), metrics
+
+        (final_ts, rng), metrics = jax.lax.scan(
+            body, (ts, rng), None, length=num_steps)
+        return final_ts, rng, metrics
 
     return multi_step
 

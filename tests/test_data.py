@@ -262,3 +262,63 @@ def test_raw_converter_celeba_recipe(tmp_path):
     assert len(out) == 3
     arr = np.frombuffer(out[0]["x"], np.uint8)
     assert arr.size == 3 * 64 * 64
+
+
+def test_device_decode_pipeline_matches_host_decode(tmp_path):
+    """uint8 device-decode path == f32 host-decode path, end to end
+    through ReadTFRecords and the device-side decode_image_batch."""
+    import jax.numpy as jnp
+    from mmdgan_tpu.data.converters import np_to_tfrecords
+    from mmdgan_tpu.data.pipeline import ReadTFRecords
+    from mmdgan_tpu.models.sngan import decode_image_batch
+
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, size=(64, 2 * 8 * 8), dtype=np.uint8)
+    np_to_tfrecords(imgs, None, str(tmp_path / "dd"))
+
+    def batch(device_decode):
+        pipe = ReadTFRecords(
+            ["dd"], file_folder=str(tmp_path), batch_size=32, buffer_size=1,
+            device_decode=device_decode).shape2image(2, 8, 8)
+        return next(pipe.next_batch())
+
+    b_host = batch(False)
+    b_dev = batch(True)
+    assert b_dev["x"].dtype == np.uint8
+    assert b_host["x"].dtype == np.float32
+    decoded = decode_image_batch({"x": jnp.asarray(b_dev["x"]), "y": None})
+    np.testing.assert_array_equal(np.asarray(decoded["x"]), b_host["x"])
+
+
+def test_train_step_accepts_uint8_batch(key):
+    """A uint8 data batch produces bitwise-identical losses to the same
+    batch decoded on host."""
+    import jax
+    import jax.numpy as jnp
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import build_train_step, init_train_state, multi_opt_config
+
+    arch = {
+        "input": [(2, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 2 * 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": None, "out_reshape": [2, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [2 * 8 * 8]}],
+    }
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    u8 = np.random.RandomState(0).randint(0, 256, size=(16, 8, 8, 2),
+                                          dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+    t = jnp.ones(())
+    _, m_u8 = step(ts, {"x": jnp.asarray(u8), "y": None}, t, t)
+    _, m_f32 = step(ts, {"x": jnp.asarray(f32), "y": None}, t, t)
+    np.testing.assert_array_equal(np.asarray(m_u8["loss_dis"]),
+                                  np.asarray(m_f32["loss_dis"]))
+    np.testing.assert_array_equal(np.asarray(m_u8["loss_gen"]),
+                                  np.asarray(m_f32["loss_gen"]))

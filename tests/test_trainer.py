@@ -162,3 +162,34 @@ def test_agent_multi_step_path(tmp_path, key):
                       steps_per_call=8)
     # 2 fused calls of 8 + 6 singles = 22
     assert int(jax.device_get(ts2.step)) == 22
+
+
+def test_train_device_data(tmp_path, key):
+    """HBM-resident dataset loop: upload once, sample on device; loop
+    runs with guards/summaries/checkpointing like Agent.train."""
+    import jax.numpy as jnp
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.trainer import Agent
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": None, "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [8 * 8]}],
+    }
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    agent = Agent(filename="devdata", sub_folder="t", output_dir=str(tmp_path),
+                  debug_mode=False, query_step=8, do_save=True)
+    data = {"x": np.random.RandomState(0).randint(
+        0, 256, size=(256, 8, 8, 1), dtype=np.uint8), "y": None}
+    ts = agent.train_device_data(
+        model, opt_d, opt_g, ts, data, max_step=16, step_per_epoch=4,
+        batch_size=16, steps_per_call=8)
+    assert int(jax.device_get(ts.step)) == 16
