@@ -199,28 +199,89 @@ def build_device_data_step(
     (new_ts, new_rng, metrics)``; ``data_x`` is the full [N, H, W, C]
     (uint8 or f32) dataset already on device, ``data_y`` [N, 1] labels or
     None.
+
+    Multi-chip: pass ``mesh`` (and keep ``data_x`` sharded along axis 0
+    with ``P(axis)``) — each device then samples its batch_size/D local
+    examples from its OWN dataset shard via ``shard_map`` (per-device
+    RNG streams), so the dataset costs N/D memory per chip and sampling
+    needs no collectives; the sampled batch comes out sharded exactly as
+    the data-parallel step expects.
     """
     step = build_train_step(model, opt_dis, opt_gen)
 
-    def multi_step(ts, data_x, data_y, rng, do_dis: Array, do_gen: Array):
-        n = data_x.shape[0]
+    def _sampler(data_x, data_y, mesh, axis):
+        if mesh is None:
+            n = data_x.shape[0]
 
-        def body(carry, _):
-            ts, rng = carry
-            rng, r_idx = jax.random.split(rng)
-            idx = jax.random.randint(r_idx, (batch_size,), 0, n)
-            batch = {
-                "x": jnp.take(data_x, idx, axis=0),
-                "y": None if data_y is None else jnp.take(data_y, idx, axis=0),
-            }
-            new_ts, metrics = step(ts, batch, do_dis, do_gen)
-            return (new_ts, rng), metrics
+            def sample(rng):
+                idx = jax.random.randint(rng, (batch_size,), 0, n)
+                return {
+                    "x": jnp.take(data_x, idx, axis=0),
+                    "y": None if data_y is None
+                    else jnp.take(data_y, idx, axis=0),
+                }
 
-        (final_ts, rng), metrics = jax.lax.scan(
-            body, (ts, rng), None, length=num_steps)
-        return final_ts, rng, metrics
+            return sample
 
-    return multi_step
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ndev = mesh.shape[axis]
+        assert batch_size % ndev == 0, (
+            f"batch {batch_size} must divide over {ndev} devices")
+        local_b = batch_size // ndev
+
+        def local_idx(rng, n_local):
+            # distinct stream per device; indices into this chip's rows
+            dev = jax.lax.axis_index(axis)
+            r = jax.random.fold_in(rng[0], dev)
+            return jax.random.randint(r, (local_b,), 0, n_local)
+
+        if data_y is None:
+            smap = shard_map(
+                lambda rng, xs: jnp.take(xs, local_idx(rng, xs.shape[0]), axis=0),
+                mesh=mesh, in_specs=(P(None), P(axis)), out_specs=P(axis),
+            )
+
+            def sample(rng):
+                return {"x": smap(rng[None], data_x), "y": None}
+        else:
+            def local_sample(rng, xs, ys):
+                idx = local_idx(rng, xs.shape[0])
+                return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
+
+            smap = shard_map(
+                local_sample, mesh=mesh,
+                in_specs=(P(None), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis)),
+            )
+
+            def sample(rng):
+                x, y = smap(rng[None], data_x, data_y)
+                return {"x": x, "y": y}
+
+        return sample
+
+    def make(mesh=None, axis: str = "data"):
+        def multi_step(ts, data_x, data_y, rng, do_dis: Array, do_gen: Array):
+            sample = _sampler(data_x, data_y, mesh, axis)
+
+            def body(carry, _):
+                ts, rng = carry
+                rng, r_idx = jax.random.split(rng)
+                batch = sample(r_idx)
+                new_ts, metrics = step(ts, batch, do_dis, do_gen)
+                return (new_ts, rng), metrics
+
+            (final_ts, rng), metrics = jax.lax.scan(
+                body, (ts, rng), None, length=num_steps)
+            return final_ts, rng, metrics
+
+        return multi_step
+
+    fn = make()
+    fn.with_mesh = make
+    return fn
 
 
 def build_eval_step(model: SNGan) -> Callable:
