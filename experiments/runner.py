@@ -59,7 +59,7 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--steps-per-call", type=int, default=1,
+    p.add_argument("--steps-per-call", type=int, default=16,
                    help="fuse K train steps per device launch (lax.scan); "
                         "amortizes dispatch latency, requires a constant "
                         "update schedule")

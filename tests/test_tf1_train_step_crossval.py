@@ -208,3 +208,138 @@ def test_loss_curve_matches_reference_5_steps(tmp_path, key):
         ours.append((float(lg), float(ld)))
     ours = np.asarray(ours)
     np.testing.assert_allclose(ours, ref_curve, rtol=5e-3, atol=2e-5)
+
+
+COND_ARCH = {
+    "input": [(2, 8, 8)],
+    "code": [(16, "linear")],
+    "generator": [
+        {"name": "l1", "out": 2 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [2, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "cbn",
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 2, "op": "cck", "act": "tanh", "kernel": 3,
+         "strides": 1},
+    ],
+    "discriminator": [
+        {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+         "w_nm": "s", "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "dck", "act": "lrelu",
+         "w_nm": "s", "act_k": 1.0},
+        {"name": "l3", "out": 1, "op": "d", "type": "project",
+         "w_nm": "s", "act_k": 1.0},
+    ],
+}
+
+
+def test_conditional_train_step_matches_reference(tmp_path, key):
+    """Full train-step parity for the CONDITIONAL capability surface:
+    cbn + cck generator, dck + projection discriminator — losses,
+    gradients (through the label gathers) and post-step parameters match
+    the reference's executed machinery."""
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train.optim import adam_tf1
+    from mmdgan_tpu.utils.tf1_import import import_reference_checkpoint
+
+    out = str(tmp_path / "ref_cond_step.npz")
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "dump_reference_train_step.py"),
+         "--out", out, "--conditional"],
+        capture_output=True, text=True, timeout=300)
+    if res.returncode != 0:
+        pytest.skip(f"reference step dump failed: {res.stderr[-400:]}")
+    data = np.load(out)
+    pre = {k[4:]: data[k] for k in data.files if k.startswith("pre:")}
+    post = {k[5:]: data[k] for k in data.files if k.startswith("post:")}
+
+    model = SNGan(COND_ARCH, num_class=3, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    params, state, loss_state = model.init(key)
+    params, state = import_reference_checkpoint(
+        model, params, state, pre, data_format="NHWC")
+
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    y = jnp.asarray(data["__y__"])
+
+    lg, ld, new_state, _, _ = model.compute_losses(
+        params, state, loss_state, key, {"x": x, "y": y}, train=True,
+        code_batch={"x": z, "y": y})
+    np.testing.assert_allclose(float(lg), float(data["__loss_gen__"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(ld), float(data["__loss_dis__"]),
+                               rtol=1e-4, atol=1e-6)
+
+    g_gen = jax.grad(lambda pg: model.compute_losses(
+        {"gen": pg, "dis": params["dis"]}, state, loss_state, key,
+        {"x": x, "y": y}, train=True,
+        code_batch={"x": z, "y": y})[0])(params["gen"])
+    g_dis = jax.grad(lambda pd: model.compute_losses(
+        {"gen": params["gen"], "dis": pd}, state, loss_state, key,
+        {"x": x, "y": y}, train=True,
+        code_batch={"x": z, "y": y})[1])(params["dis"])
+
+    # raw gradient parity, incl. through the label gathers
+    grad_checks = {
+        "gen/l2/BN/scale": g_gen["gen/l2"]["BN"]["scale"],
+        "gen/l2/BN/offset": g_gen["gen/l2"]["BN"]["offset"],
+        "gen/l3/kernel/c_kernel": g_gen["gen/l3"]["kernel"]["c_kernel"],
+        "dis/l2/kernel/c_kernel": g_dis["dis/l2"]["kernel"]["c_kernel"],
+        "dis/l3/project/kernel": g_dis["dis/l3"]["project"]["kernel"],
+    }
+    for name, ours in grad_checks.items():
+        ref = data.get("grad:" + name)
+        assert ref is not None, f"missing reference grad {name}"
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-3,
+                                   atol=1e-6, err_msg=name)
+
+    # one TF1-exact Adam step and post-step parameter parity
+    import optax
+    opt_d = adam_tf1(1e-3, 0.5, 0.999, 1e-8)
+    opt_g = adam_tf1(5e-4, 0.5, 0.999, 1e-8)
+    upd_d, _ = opt_d.update(g_dis, opt_d.init(params["dis"]), params["dis"])
+    upd_g, _ = opt_g.update(g_gen, opt_g.init(params["gen"]), params["gen"])
+    new_dis = optax.apply_updates(params["dis"], upd_d)
+    new_gen = optax.apply_updates(params["gen"], upd_g)
+
+    post_checks = {
+        "gen/l2/BN/scale": new_gen["gen/l2"]["BN"]["scale"],
+        "gen/l2/BN/offset": new_gen["gen/l2"]["BN"]["offset"],
+        "gen/l3/kernel/kernel": new_gen["gen/l3"]["kernel"]["kernel"],
+        "gen/l3/kernel/c_kernel": new_gen["gen/l3"]["kernel"]["c_kernel"],
+        "dis/l2/kernel/kernel": new_dis["dis/l2"]["kernel"]["kernel"],
+        "dis/l2/kernel/c_kernel": new_dis["dis/l2"]["kernel"]["c_kernel"],
+        "dis/l3/project/kernel": new_dis["dis/l3"]["project"]["kernel"],
+        "dis/l3/kernel/kernel": new_dis["dis/l3"]["kernel"]["kernel"],
+    }
+    for name, ours in post_checks.items():
+        ref_grad = data.get("grad:" + name)
+        ours = np.asarray(ours)
+        lr = 1e-3 if name.startswith("dis") else 5e-4
+        if ref_grad is not None:
+            meaningful = np.abs(ref_grad) > 1e-6
+            np.testing.assert_allclose(
+                ours[meaningful], post[name][meaningful],
+                rtol=1e-3, atol=1e-6, err_msg=name)
+            np.testing.assert_array_less(
+                np.abs(ours - post[name]), 1.01 * lr, err_msg=name + " bound")
+        else:
+            np.testing.assert_allclose(ours, post[name], rtol=1e-3,
+                                       atol=1e-6, err_msg=name)
+
+    # cbn moving statistics (UPDATE_OPS parity)
+    np.testing.assert_allclose(
+        np.asarray(new_state["gen"]["gen/l2"]["BN"]["moving_mean"]),
+        post["gen/l2/BN/BN/moving_mean"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_state["gen"]["gen/l2"]["BN"]["moving_var"]),
+        post["gen/l2/BN/BN/moving_variance"], rtol=1e-4, atol=1e-6)
+
+    # SN power vectors, incl. the dck coupled operator and project
+    np.testing.assert_allclose(
+        np.asarray(new_state["dis"]["dis/l2"]["kernel"]["sn_x"]),
+        post["dis/l2/kernel/SN/in_rand"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state["dis"]["dis/l3"]["project"]["sn_x"]),
+        post["dis/l3/project/SN/in_rand"], rtol=1e-4, atol=1e-5)

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--lr-dis", type=float, default=1e-3)
     p.add_argument("--lr-gen", type=float, default=5e-4)
     p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--conditional", action="store_true",
+                   help="conditional model: cbn generator, cck/dck layers, "
+                        "projection discriminator, 3 classes")
     args = p.parse_args()
 
     import tensorflow.compat.v1 as tf
@@ -84,41 +87,72 @@ def main():
 
     rng = np.random.RandomState(args.seed)
     code_size, batch = 16, 8
-    gen_design = [
-        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
-         "act_nm": None, "out_reshape": [4, 4, 8]},
-        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
-         "kernel": 4, "strides": 2},
-        {"name": "l3", "out": 2, "op": "c", "act": "tanh", "kernel": 3,
-         "strides": 1},
-    ]
-    dis_design = [
-        {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
-         "w_nm": "s", "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
-        {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
-    ]
+    num_class = 3 if args.conditional else 0
+    if args.conditional:
+        gen_design = [
+            {"name": "l1", "out": 2 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [4, 4, 2]},
+            {"name": "l2", "out": 4, "op": "tc", "act": "relu",
+             "act_nm": "cbn", "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 2, "op": "cck", "act": "tanh", "kernel": 3,
+             "strides": 1},
+        ]
+        dis_design = [
+            {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+             "w_nm": "s", "kernel": 3, "strides": 2,
+             "out_reshape": [4 * 4 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "act": "lrelu",
+             "w_nm": "s", "act_k": 1.0},
+            {"name": "l3", "out": 1, "op": "d", "type": "project",
+             "w_nm": "s", "act_k": 1.0},
+        ]
+    else:
+        gen_design = [
+            {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [4, 4, 8]},
+            {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
+             "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 2, "op": "c", "act": "tanh", "kernel": 3,
+             "strides": 1},
+        ]
+        dis_design = [
+            {"name": "l1", "out": 8, "op": "c", "act": "lrelu", "act_k": 1.3,
+             "w_nm": "s", "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+            {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+        ]
 
     z_np = rng.randn(batch, code_size).astype(np.float32)
     x_np = rng.randn(batch, 8, 8, 2).astype(np.float32)
+    y_np = (rng.randint(0, num_class, size=(batch, 1)).astype(np.int32)
+            if args.conditional else None)
 
     graph = tf.Graph()
     with graph.as_default():
-        g_net = Net(gen_design, net_name="gen", data_format="channels_last")
+        g_net = Net(gen_design, net_name="gen", data_format="channels_last",
+                    num_class=num_class)
         gen = Routine(g_net)
         gen.add_input_layers([batch, code_size], [0])
         gen.seq_links([0, 1, 2])
         gen.add_output_layers([2])
-        d_net = Net(dis_design, net_name="dis", data_format="channels_last")
+        d_net = Net(dis_design, net_name="dis", data_format="channels_last",
+                    num_class=num_class)
         dis = Routine(d_net)
         dis.add_input_layers([2 * batch, 8, 8, 2], [0])
-        dis.seq_links([0, 1])
-        dis.add_output_layers([1])
+        dis.seq_links(list(range(d_net.num_layers)))
+        dis.add_output_layers([d_net.num_layers - 1])
 
         z = tf.constant(z_np)
         x = tf.constant(x_np)
-        gen_out = gen({"x": z}, is_training=True)["x"]
+        gin = {"x": z}
+        if args.conditional:
+            y = tf.constant(y_np)
+            gin["y"] = y
+        gen_out = gen(gin, is_training=True)["x"]
         dis_in = tf.concat([x, gen_out], axis=0)
-        dis_out = dis({"x": dis_in}, is_training=True)["x"]
+        din = {"x": dis_in}
+        if args.conditional:
+            din["y"] = tf.concat([y, y], axis=0)
+        dis_out = dis(din, is_training=True)["x"]
         s_x, s_gen = tf.split(dis_out, 2, axis=0)
 
         loss_gen, loss_dis = GANLoss(do_summary=False).apply(
@@ -140,7 +174,8 @@ def main():
         grad_fetches = {}
         for g, v in grads_dis + grads_gen:
             if g is not None:
-                grad_fetches["grad:" + v.op.name] = g
+                # tf.gather grads come back as IndexedSlices; densify
+                grad_fetches["grad:" + v.op.name] = tf.convert_to_tensor(g)
 
         model_vars = [v for v in tf.global_variables()
                       if "Adam" not in v.op.name and "beta1_power" not in v.op.name
@@ -184,6 +219,7 @@ def main():
             after = {v.op.name: sess.run(v) for v in model_vars}
 
     out = {"__z__": z_np, "__x__": x_np,
+           **({"__y__": y_np} if y_np is not None else {}),
            "__loss_gen__": np.asarray(lg), "__loss_dis__": np.asarray(ld),
            "__curve__": np.asarray(losses_curve)}
     for name, val in before.items():
