@@ -245,3 +245,24 @@ def test_graft_dryrun_multichip(n):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(n)
+
+
+@pytest.mark.parametrize("loss_type", [
+    "mmd_g", "fixed_g", "mmd_t", "fixed_t", "cramer", "mgb",
+    "mmd_g_mix", "sgm", "rand_g", "rgb", "rand_g_mix", "sym_rg_mix",
+    "sym_rg", "instance_noise", "logistic", "hinge", "wasserstein",
+])
+def test_every_loss_type_trains(rng, key, loss_type):
+    """Two full fused steps for EVERY dispatcher loss type — exercises
+    LossState threading (mix coin / moving averages / instance-noise
+    sigma) through the jitted step, not just the loss value."""
+    model = make_model(loss_type)
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3], optimizer="adam")
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    t = jnp.asarray(True)
+    for _ in range(2):
+        ts, metrics = step(ts, make_batch(rng), t, t)
+    assert int(ts.step) == 2, loss_type
+    assert np.isfinite(float(metrics["loss_gen"])), loss_type
+    assert np.isfinite(float(metrics["loss_dis"])), loss_type

@@ -193,3 +193,40 @@ def test_train_device_data(tmp_path, key):
         model, opt_d, opt_g, ts, data, max_step=16, step_per_epoch=4,
         batch_size=16, steps_per_call=8)
     assert int(jax.device_get(ts.step)) == 16
+
+
+def test_resume_is_bitwise_deterministic(tmp_path, key):
+    """save at step 5 + restore + 5 more steps == 10 uninterrupted steps,
+    parameter-for-parameter (validates the full TrainState round-trip
+    through Orbax: params, net/loss state, BOTH optimizer states, rng)."""
+    import itertools
+    model, ts0, step_fn = setup(key)
+
+    def fixed_batches():
+        rng = np.random.RandomState(7)
+        batches = [{"x": jnp.asarray(rng.randn(16, 8, 8, 1), jnp.float32),
+                    "y": None} for _ in range(10)]
+        return batches
+
+    dp = DataParallel()
+    # uninterrupted
+    a1 = Agent("u", "run", query_step=100, nan_check_step=100, do_save=False,
+               output_dir=str(tmp_path), use_tensorboard=False)
+    ts_a = a1.train(step_fn, ts0, iter(fixed_batches()), max_step=10,
+                    step_per_epoch=100, dp=dp)
+    # interrupted at 5
+    b1 = Agent("i", "run", query_step=100, nan_check_step=100,
+               output_dir=str(tmp_path), use_tensorboard=False)
+    ts_b = b1.train(step_fn, ts0, iter(fixed_batches()[:5]), max_step=5,
+                    step_per_epoch=100, dp=dp)
+    _, ts_fresh, _ = setup(jax.random.PRNGKey(4242))
+    b2 = Agent("i", "run", load_ckpt=True, query_step=100, nan_check_step=100,
+               do_save=False, output_dir=str(tmp_path), use_tensorboard=False)
+    ts_b2 = b2.train(step_fn, ts_fresh, iter(fixed_batches()[5:]), max_step=5,
+                     step_per_epoch=100, dp=dp)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(jax.device_get(ts_a.params))
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(
+        jax.device_get(ts_b2.params)))
+    for path, va in flat_a:
+        np.testing.assert_array_equal(va, flat_b[path], err_msg=str(path))
