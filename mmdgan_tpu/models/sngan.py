@@ -440,6 +440,10 @@ class SNGan:
 
         if key is None:
             key = _jax.random.PRNGKey(0)
+        if real_batch is not None:
+            real_batch = dict(real_batch)
+            real_batch["x"] = jnp.asarray(real_batch["x"])
+            real_batch = decode_image_batch(real_batch)
         _, summary_folder, _ = prepare_folder(
             filename, sub_folder=sub_folder, set_folder=output_dir)
         batch_size = mesh_num[0] * mesh_num[1]
@@ -522,7 +526,10 @@ class SNGan:
 
         def real_stream():
             for b in real_batches:
-                yield b["x"] if isinstance(b, dict) else b
+                x = b["x"] if isinstance(b, dict) else b
+                if x.dtype == np.uint8:  # device_decode pipelines feed uint8
+                    x = x.astype(np.float32) / 127.5 - 1.0
+                yield x
 
         if model == "v1":
             metric = GenerativeModelMetric(model="v1", model_path=model_path)

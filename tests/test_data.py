@@ -322,3 +322,37 @@ def test_train_step_accepts_uint8_batch(key):
                                   np.asarray(m_f32["loss_dis"]))
     np.testing.assert_array_equal(np.asarray(m_u8["loss_gen"]),
                                   np.asarray(m_f32["loss_gen"]))
+
+
+def test_mdl_score_accepts_uint8_batches(key):
+    """Eval metrics decode device_decode (uint8) pipelines transparently."""
+    from mmdgan_tpu.models import SNGan
+
+    arch = {
+        "input": [(3, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 3 * 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": None, "out_reshape": [3, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [3 * 8 * 8]}],
+    }
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    params, state, _ = model.init(key)
+    rng = np.random.RandomState(0)
+
+    def batches(dtype):
+        while True:
+            u8 = rng.randint(0, 256, size=(8, 8, 8, 3), dtype=np.uint8)
+            yield {"x": u8 if dtype == np.uint8
+                   else u8.astype(np.float32) / 127.5 - 1.0, "y": None}
+
+    rng = np.random.RandomState(0)
+    s_u8 = model.mdl_score(params, state, batches(np.uint8), batch_size=8,
+                           num_batch=2, model="ms_ssim")
+    rng = np.random.RandomState(0)
+    s_f32 = model.mdl_score(params, state, batches(np.float32), batch_size=8,
+                            num_batch=2, model="ms_ssim")
+    np.testing.assert_allclose(np.asarray(s_u8[0]), np.asarray(s_f32[0]),
+                               rtol=1e-5)
