@@ -332,11 +332,16 @@ class Agent:
                               f"loss_gen {vals['loss_gen']:.4f} "
                               f"loss_dis {vals['loss_dis']:.4f} "
                               f"({speed:.2f} steps/s)")
-        # trailing steps below one scan window run singly
+        # trailing steps below one scan window run singly. Source them
+        # from the stacked device iterator, NOT next(data_it): the
+        # prefetch producer thread shares that generator and a direct
+        # pull here would race it ("generator already executing").
         if remainder:
             single = dp.compile_step(train_step)
-            for _ in range(remainder):
-                batch = dp.shard_batch(next(data_it))
+            batches = next(device_it)
+            for i in range(remainder):
+                batch = {key: (None if v is None else v[i])
+                         for key, v in batches.items()}
                 ts, metrics = single(ts, batch, t_true, t_true)
             jax.device_get(metrics["loss_gen"])
 

@@ -230,3 +230,16 @@ def test_resume_is_bitwise_deterministic(tmp_path, key):
         jax.device_get(ts_b2.params)))
     for path, va in flat_a:
         np.testing.assert_array_equal(va, flat_b[path], err_msg=str(path))
+
+
+def test_train_multi_with_remainder(tmp_path, key):
+    """max_step not divisible by steps_per_call: the trailing steps must
+    not race the prefetch producer thread on the host generator."""
+    model, ts, step_fn = setup(key)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    agent = Agent("rem", "run", query_step=100, nan_check_step=100,
+                  do_save=False, output_dir=str(tmp_path),
+                  use_tensorboard=False)
+    ts = agent.train(step_fn, ts, data, max_step=11, step_per_epoch=100,
+                     dp=DataParallel(), steps_per_call=4)
+    assert int(jax.device_get(ts.step)) == 11
