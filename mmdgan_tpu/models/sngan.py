@@ -235,6 +235,7 @@ class SNGan:
                 if y.ndim == 1:
                     y = y[:, None]
             batch = {"x": batch, "y": y}
+        batch = decode_image_batch({**batch, "x": jnp.asarray(batch["x"])})
         out, _ = self.Dis.apply(params["dis"], state["dis"], batch, train=train)
         return out["x"]
 

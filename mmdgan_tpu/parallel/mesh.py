@@ -137,21 +137,38 @@ class DataParallel:
         put = self.shard_multi_batch if multi else self.shard_batch
         q: "_queue.Queue" = _queue.Queue(maxsize=size)
         stop = object()
+        closed = [False]
 
         def producer():
             try:
                 for b in data_iter:
-                    q.put(put(b))
+                    item = put(b)
+                    while not closed[0]:
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except _queue.Full:
+                            continue
+                    if closed[0]:
+                        return
             finally:
-                q.put(stop)
+                try:
+                    q.put(stop, timeout=0.5)
+                except _queue.Full:
+                    pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    return
+                yield item
+        finally:
+            # consumer done (loop ended / generator closed): release the
+            # producer so it doesn't sit blocked on a full queue forever
+            closed[0] = True
 
 
 def average_tower_grads(tower_grads):
