@@ -39,12 +39,22 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="cifar", choices=["cifar", "celeba"])
+    ap.add_argument("--arch", default="cifar", choices=["cifar", "stl", "celeba", "lsun"])
     args = ap.parse_args()
     if args.arch == "celeba":
         arch = celeba_architecture()
         img = 64
         metric_name = "celeba64_sngan_rep_b64_train_steps_per_sec_per_chip"
+    elif args.arch == "lsun":
+        from experiments.architectures import lsun_architecture
+        arch = lsun_architecture()
+        img = 64
+        metric_name = "lsun64_sngan_rep_b64_train_steps_per_sec_per_chip"
+    elif args.arch == "stl":
+        from experiments.architectures import stl_architecture
+        arch = stl_architecture()
+        img = 48
+        metric_name = "stl48_sngan_rep_b64_train_steps_per_sec_per_chip"
     else:
         arch = cifar_architecture()
         img = 32

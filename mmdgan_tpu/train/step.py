@@ -175,12 +175,36 @@ def build_multi_step(
     return multi_step
 
 
+def same_class_tables(y, num_class: int):
+    """Host-side per-class index tables for same-class device sampling
+    (the reference's group_by_window batching, input_func.py:905-916).
+
+    Returns (table [num_class, max_count] int32, counts [num_class]):
+    ``table[c, :counts[c]]`` are the dataset rows of class c (rows are
+    repeated to pad, harmless under uniform re-sampling).
+    """
+    import numpy as np
+
+    y = np.asarray(y).reshape(-1)
+    counts = np.asarray([(y == c).sum() for c in range(num_class)], np.int32)
+    assert counts.min() > 0, "every class needs at least one example"
+    width = int(counts.max())
+    table = np.zeros((num_class, width), np.int32)
+    for c in range(num_class):
+        rows = np.nonzero(y == c)[0].astype(np.int32)
+        table[c] = np.resize(rows, width)
+    return table, counts
+
+
 def build_device_data_step(
     model: SNGan,
     opt_dis: optax.GradientTransformation,
     opt_gen: optax.GradientTransformation,
     num_steps: int,
     batch_size: int,
+    same_class: bool = False,
+    class_table=None,
+    class_counts=None,
 ) -> Callable:
     """K train steps per launch with batches gathered ON DEVICE from an
     HBM-resident dataset — zero per-step host->device data transfer.
@@ -209,9 +233,33 @@ def build_device_data_step(
     """
     step = build_train_step(model, opt_dis, opt_gen)
 
+    if same_class:
+        assert class_table is not None and class_counts is not None, (
+            "same_class sampling needs same_class_tables(y, num_class)")
+
     def _sampler(data_x, data_y, mesh, axis):
         if mesh is None:
             n = data_x.shape[0]
+
+            if same_class:
+                table = jnp.asarray(class_table)
+                counts = jnp.asarray(class_counts)
+
+                def sample(rng):
+                    # whole batch from ONE uniformly drawn class
+                    # (group_by_window semantics, input_func.py:905-916)
+                    r_c, r_i = jax.random.split(rng)
+                    c = jax.random.randint(r_c, (), 0, table.shape[0])
+                    slot = jax.random.randint(r_i, (batch_size,), 0, counts[c])
+                    idx = table[c, slot]
+                    return {
+                        "x": jnp.take(data_x, idx, axis=0),
+                        "y": (jnp.full((batch_size, 1), c, jnp.int32)
+                              if data_y is None
+                              else jnp.take(data_y, idx, axis=0)),
+                    }
+
+                return sample
 
             def sample(rng):
                 idx = jax.random.randint(rng, (batch_size,), 0, n)
@@ -223,6 +271,10 @@ def build_device_data_step(
 
             return sample
 
+        assert not same_class, (
+            "same_class sampling is single-mesh only for now (a sharded "
+            "dataset can't guarantee every class on every chip); keep the "
+            "dataset replicated or use host batching for this mode")
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
