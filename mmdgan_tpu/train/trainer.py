@@ -390,11 +390,17 @@ class Agent:
         k = steps_per_call
         if not hasattr(self, "_devdata_cache"):
             self._devdata_cache = {}
-        cache_key = (id(model), id(opt_dis), id(opt_gen), k, batch_size)
-        if cache_key not in self._devdata_cache:
-            self._devdata_cache[cache_key] = jax.jit(
-                build_device_data_step(model, opt_dis, opt_gen, k, batch_size))
-        fn = self._devdata_cache[cache_key]
+
+        def get_fn(num_steps):
+            cache_key = (id(model), id(opt_dis), id(opt_gen), num_steps,
+                         batch_size)
+            if cache_key not in self._devdata_cache:
+                self._devdata_cache[cache_key] = jax.jit(
+                    build_device_data_step(
+                        model, opt_dis, opt_gen, num_steps, batch_size))
+            return self._devdata_cache[cache_key]
+
+        fn = get_fn(k)
         if self.load_ckpt:
             ts = self.restore(ts)
         data_x = jax.device_put(np.asarray(data["x"]))
@@ -404,7 +410,11 @@ class Agent:
         t_true = jnp.ones(())
         start_step = int(jax.device_get(ts.step))
         start = time.time()
-        num_calls = max(max_step // k, 1)
+        if max_step < k:
+            k = max_step
+            fn = get_fn(k)
+        num_calls = max_step // k
+        remainder = max_step - num_calls * k
         for call in range(num_calls):
             ts, rng, metrics = fn(ts, data_x, data_y, rng, t_true, t_true)
             gstep = start_step + (call + 1) * k
@@ -433,6 +443,10 @@ class Agent:
                               f"loss_gen {vals['loss_gen']:.4f} "
                               f"loss_dis {vals['loss_dis']:.4f} "
                               f"({speed:.2f} steps/s)")
+        if remainder:
+            ts, rng, metrics = get_fn(remainder)(
+                ts, data_x, data_y, rng, t_true, t_true)
+            jax.device_get(metrics["loss_gen"])
         final_step = int(jax.device_get(ts.step))
         if self.do_save:
             self.save(ts, final_step)

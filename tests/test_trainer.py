@@ -193,6 +193,16 @@ def test_train_device_data(tmp_path, key):
         model, opt_d, opt_g, ts, data, max_step=16, step_per_epoch=4,
         batch_size=16, steps_per_call=8)
     assert int(jax.device_get(ts.step)) == 16
+    # non-divisible max_step runs the exact number of steps (remainder
+    # scan) and a max_step below one window shrinks the window
+    ts = agent.train_device_data(
+        model, opt_d, opt_g, ts, data, max_step=11, step_per_epoch=4,
+        batch_size=16, steps_per_call=8)
+    assert int(jax.device_get(ts.step)) == 27
+    ts = agent.train_device_data(
+        model, opt_d, opt_g, ts, data, max_step=3, step_per_epoch=4,
+        batch_size=16, steps_per_call=8)
+    assert int(jax.device_get(ts.step)) == 30
 
 
 def test_resume_is_bitwise_deterministic(tmp_path, key):
