@@ -175,6 +175,66 @@ def build_multi_step(
     return multi_step
 
 
+def build_imbalanced_multi_step(
+    model: SNGan,
+    opt_dis: optax.GradientTransformation,
+    opt_gen: optax.GradientTransformation,
+    num_steps: int,
+    imbalanced,
+) -> Callable:
+    """K steps per launch WITH the imbalanced update schedule computed on
+    device, so imbalanced/dynamic training also gets scan fusion (the
+    host-side schedule forced one launch per step — ~30 ms dispatch on a
+    tunneled chip).
+
+    ``imbalanced`` is either ``[a, b]`` (update D when step % a == 0, G
+    when step % b == 0 — a pure function of the carried global step) or
+    ``'dynamic'`` (graph_func.py:916-919: D updates while step < 1000,
+    then with probability 0.1 / max(mmd_average, 0.1); G always). The
+    mmd average is an EMA of loss_gen carried through the scan (the
+    reference's full_run never actually updates its average — a vestige;
+    we keep the debug_mode semantics of tracking the loss).
+
+    Returns ``fn(ts, batches, rng, mmd_avg) ->
+    (new_ts, new_rng, new_mmd_avg, metrics)``.
+    """
+    return imbalanced_scan(
+        build_train_step(model, opt_dis, opt_gen), num_steps, imbalanced)
+
+
+def imbalanced_scan(step: Callable, num_steps: int, imbalanced) -> Callable:
+    """Wrap an existing train step in the on-device imbalanced-schedule
+    scan (see ``build_imbalanced_multi_step``)."""
+    is_list = isinstance(imbalanced, (list, tuple))
+    if not is_list and imbalanced != "dynamic":
+        raise ValueError(f"imbalanced schedule {imbalanced!r} not supported")
+
+    def multi_step(ts, batches, rng, mmd_avg):
+        def body(carry, batch):
+            ts, rng, avg = carry
+            gstep = ts.step
+            if is_list:
+                do_dis = (gstep % imbalanced[0] == 0).astype(jnp.float32)
+                do_gen = (gstep % imbalanced[1] == 0).astype(jnp.float32)
+            else:
+                rng, r_u = jax.random.split(rng)
+                u = jax.random.uniform(r_u)
+                do_dis = jnp.logical_or(
+                    gstep < 1000,
+                    u < 0.1 / jnp.maximum(avg, 0.1)).astype(jnp.float32)
+                do_gen = jnp.ones(())
+            new_ts, metrics = step(ts, batch, do_dis, do_gen)
+            new_avg = 0.99 * avg + 0.01 * metrics["loss_gen"]
+            metrics["do_dis"] = do_dis
+            return (new_ts, rng, new_avg), metrics
+
+        (ts, rng, mmd_avg), metrics = jax.lax.scan(
+            body, (ts, rng, mmd_avg), batches, length=num_steps)
+        return ts, rng, mmd_avg, metrics
+
+    return multi_step
+
+
 def same_class_tables(y, num_class: int):
     """Host-side per-class index tables for same-class device sampling
     (the reference's group_by_window batching, input_func.py:905-916).

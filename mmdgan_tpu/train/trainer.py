@@ -165,9 +165,11 @@ class Agent:
         """
         if (
             steps_per_call > 1
-            and self.imbalanced_update is None
             and self.debug_mode is not None
         ):
+            # imbalanced/list/dynamic schedules are computed ON DEVICE
+            # inside the scan (build_imbalanced_multi_step), so every
+            # schedule gets launch fusion
             return self._train_multi(
                 train_step, ts, data_iter, max_step, step_per_epoch, dp,
                 summary_image_fn, steps_per_call, force_print,
@@ -275,12 +277,18 @@ class Agent:
         # cache the scan closure so per-chunk train() calls don't re-trace
         if not hasattr(self, "_multi_cache"):
             self._multi_cache = {}
-        cache_key = (id(train_step), k)
+        iu = self.imbalanced_update
+        iu_key = tuple(iu) if isinstance(iu, (list, tuple)) else iu
+        cache_key = (id(train_step), k, iu_key)
         if cache_key not in self._multi_cache:
-            def multi(ts_in, batches, do_dis, do_gen):
-                def body(carry, batch):
-                    return train_step(carry, batch, do_dis, do_gen)
-                return jax.lax.scan(body, ts_in, batches, length=k)
+            if iu is None:
+                def multi(ts_in, batches, do_dis, do_gen):
+                    def body(carry, batch):
+                        return train_step(carry, batch, do_dis, do_gen)
+                    return jax.lax.scan(body, ts_in, batches, length=k)
+            else:
+                from mmdgan_tpu.train.step import imbalanced_scan
+                multi = imbalanced_scan(train_step, k, iu)
             self._multi_cache[cache_key] = multi
         step_fn = dp.compile_step(self._multi_cache[cache_key])
         ts = dp.replicate(ts)
@@ -292,6 +300,10 @@ class Agent:
         num_calls = max_step // k
         remainder = max_step - num_calls * k
         t_true = jnp.asarray(True)
+        # carried device-side schedule state (imbalanced modes); the
+        # average resets per train() call like the reference's full_run
+        sched_rng = jax.random.PRNGKey(start_step + 98765)
+        mmd_avg = jnp.zeros(())
 
         def stacked_host_batches():
             while True:
@@ -305,7 +317,11 @@ class Agent:
         device_it = dp.prefetch(stacked_host_batches(), size=2, multi=True)
         for call in range(num_calls):
             batches = next(device_it)
-            ts, metrics = step_fn(ts, batches, t_true, t_true)
+            if iu is None:
+                ts, metrics = step_fn(ts, batches, t_true, t_true)
+            else:
+                ts, sched_rng, mmd_avg, metrics = step_fn(
+                    ts, batches, sched_rng, mmd_avg)
             gstep = start_step + (call + 1) * k
             if (
                 gstep % self.query_step < k
@@ -338,11 +354,20 @@ class Agent:
         # pull here would race it ("generator already executing").
         if remainder:
             single = dp.compile_step(train_step)
-            batches = next(device_it)
+            host_rng = np.random.RandomState(start_step + 12345)
             for i in range(remainder):
-                batch = {key: (None if v is None else v[i])
+                if i % k == 0:
+                    batches = next(device_it)
+                batch = {key: (None if v is None else v[i % k])
                          for key, v in batches.items()}
-                ts, metrics = single(ts, batch, t_true, t_true)
+                if iu is None:
+                    dd, dg = t_true, t_true
+                else:
+                    dd, dg = self._update_flags(
+                        start_step + num_calls * k + i,
+                        float(jax.device_get(mmd_avg)), host_rng)
+                    dd, dg = jnp.asarray(dd), jnp.asarray(dg)
+                ts, metrics = single(ts, batch, dd, dg)
             jax.device_get(metrics["loss_gen"])
 
         final_step = int(jax.device_get(ts.step))

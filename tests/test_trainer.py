@@ -253,3 +253,44 @@ def test_train_multi_with_remainder(tmp_path, key):
     ts = agent.train(step_fn, ts, data, max_step=11, step_per_epoch=100,
                      dp=DataParallel(), steps_per_call=4)
     assert int(jax.device_get(ts.step)) == 11
+
+
+def test_imbalanced_list_fused_matches_single_step(tmp_path, key):
+    """[a, b] schedules computed on device inside the scan produce the
+    same parameters as the host-side single-step path."""
+    model, ts0, step_fn = setup(key)
+
+    def data():
+        rng = np.random.RandomState(11)
+        return iter([{"x": jnp.asarray(rng.randn(16, 8, 8, 1), jnp.float32),
+                      "y": None} for _ in range(12)])
+
+    outs = []
+    for spc in (1, 4):
+        agent = Agent("imb", f"run{spc}", query_step=100, nan_check_step=100,
+                      do_save=False, output_dir=str(tmp_path),
+                      use_tensorboard=False, imbalanced_update=[2, 1])
+        ts = agent.train(step_fn, ts0, data(), max_step=12,
+                         step_per_epoch=100, dp=DataParallel(),
+                         steps_per_call=spc)
+        outs.append(jax.device_get(ts.params))
+    a = jax.tree_util.tree_leaves_with_path(outs[0])
+    b = dict(jax.tree_util.tree_leaves_with_path(outs[1]))
+    for path, va in a:
+        # different executables (fused scan vs single steps) may differ
+        # by float rounding; the schedule itself must match exactly
+        np.testing.assert_allclose(va, b[path], rtol=1e-5, atol=1e-6,
+                                   err_msg=str(path))
+
+
+def test_imbalanced_dynamic_fused_runs(tmp_path, key):
+    """'dynamic' schedule runs fully fused (device RNG + carried mmd
+    average) and completes the exact step count."""
+    model, ts, step_fn = setup(key)
+    data = synthetic_image_batches(16, 8, 8, 1)
+    agent = Agent("dyn", "run", query_step=100, nan_check_step=100,
+                  do_save=False, output_dir=str(tmp_path),
+                  use_tensorboard=False, imbalanced_update="dynamic")
+    ts = agent.train(step_fn, ts, data, max_step=10, step_per_epoch=100,
+                     dp=DataParallel(), steps_per_call=4)
+    assert int(jax.device_get(ts.step)) == 10
