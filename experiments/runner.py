@@ -209,6 +209,7 @@ def run_experiment(
                 summary_image_fn=lambda ts: model.generate(
                     ts.params, ts.net_state, rng=jax.random.PRNGKey(chunk), batch_size=8),
                 seed=args.seed + chunk,
+                sample_same_class=args.sample_same_class,
             )
         else:
             ts = agent.train(

@@ -160,8 +160,8 @@ class Agent:
         :param summary_image_fn: fn(ts) -> [N,H,W,C] images for the final
             summary (my_sngan.py:459-463)
         :param steps_per_call: fuse K steps per device launch via lax.scan
-            (amortizes dispatch latency ~K-fold; only used when the update
-            schedule is constant, i.e. imbalanced_update is None).
+            (amortizes dispatch latency ~K-fold). Imbalanced schedules
+            fuse too — they are computed on device inside the scan.
         """
         if (
             steps_per_call > 1
@@ -396,6 +396,7 @@ class Agent:
         summary_image_fn=None,
         force_print: bool = False,
         seed: int = 0,
+        sample_same_class: bool = False,
     ) -> TrainState:
         """Training loop over an HBM-resident dataset: ``data`` ({'x':
         [N,H,W,C] uint8 or f32, 'y': [N,1] or None}, e.g. from
@@ -403,9 +404,11 @@ class Agent:
         on device inside the scanned step (``build_device_data_step``) —
         zero per-step host->device data transfer. On a tunneled chip this
         is ~6.6x faster than host-fed f32 batches (CIFAR b64: 62 -> 409
-        steps/s). Same NaN/divergence guards, summaries and checkpointing
-        as ``train``."""
-        from mmdgan_tpu.train.step import build_device_data_step
+        steps/s). ``sample_same_class`` draws each batch from one class
+        (group_by_window semantics; needs labels in ``data['y']``). Same
+        NaN/divergence guards, summaries and checkpointing as ``train``."""
+        from mmdgan_tpu.train.step import (
+            build_device_data_step, same_class_tables)
 
         if self.debug_mode is None:
             print("Agent: debug_mode=None, nothing to run.")
@@ -416,13 +419,21 @@ class Agent:
         if not hasattr(self, "_devdata_cache"):
             self._devdata_cache = {}
 
+        table = counts = None
+        if sample_same_class:
+            assert data.get("y") is not None, (
+                "sample_same_class needs labels in data['y']")
+            table, counts = same_class_tables(data["y"], model.num_class)
+
         def get_fn(num_steps):
             cache_key = (id(model), id(opt_dis), id(opt_gen), num_steps,
-                         batch_size)
+                         batch_size, sample_same_class)
             if cache_key not in self._devdata_cache:
                 self._devdata_cache[cache_key] = jax.jit(
                     build_device_data_step(
-                        model, opt_dis, opt_gen, num_steps, batch_size))
+                        model, opt_dis, opt_gen, num_steps, batch_size,
+                        same_class=sample_same_class,
+                        class_table=table, class_counts=counts))
             return self._devdata_cache[cache_key]
 
         fn = get_fn(k)
