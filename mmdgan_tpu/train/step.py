@@ -159,8 +159,9 @@ def build_multi_step(
     (do_dis, do_gen) flags; returns the final state and the per-step
     metrics stacked along axis 0.
 
-    Imbalanced schedules that change within the window need the single-step
-    path; the Agent uses multi-step only when the schedule is constant.
+    For imbalanced schedules use ``imbalanced_scan`` /
+    ``build_imbalanced_multi_step`` — the flags are computed on device
+    inside the scan there.
     """
     step = build_train_step(model, opt_dis, opt_gen)
 

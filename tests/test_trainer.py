@@ -209,7 +209,6 @@ def test_resume_is_bitwise_deterministic(tmp_path, key):
     """save at step 5 + restore + 5 more steps == 10 uninterrupted steps,
     parameter-for-parameter (validates the full TrainState round-trip
     through Orbax: params, net/loss state, BOTH optimizer states, rng)."""
-    import itertools
     model, ts0, step_fn = setup(key)
 
     def fixed_batches():
