@@ -64,6 +64,44 @@ avg_pool = lambda x, k, s, padding="SAME": _pool(x, k, s, padding, "avg")
 sum_pool = lambda x, k, s, padding="SAME": _pool(x, k, s, padding, "sum")
 
 
+def _resize_matrix(n_in: int, n_out: int, kind: str) -> "np.ndarray":
+    """Interpolation matrix [n_out, n_in] with TF1 align_corners=True
+    semantics: output i samples input coordinate i*(n_in-1)/(n_out-1);
+    'cubic' is Keys' kernel with a=-0.75 (tf.image.resize_bicubic),
+    edge taps clamped."""
+    import numpy as np
+
+    W = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1:
+        W[0, 0] = 1.0
+        return W
+    src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+
+    def cubic(u, a=-0.75):
+        u = abs(u)
+        if u <= 1.0:
+            return (a + 2) * u ** 3 - (a + 3) * u ** 2 + 1
+        if u < 2.0:
+            return a * u ** 3 - 5 * a * u ** 2 + 8 * a * u - 4 * a
+        return 0.0
+
+    for i, s in enumerate(src):
+        j0 = int(np.floor(s))
+        t = s - j0
+        if kind == "linear":
+            taps = ((j0, 1.0 - t), (j0 + 1, t))
+        else:
+            # TF evaluates the cubic kernel through a 1024-entry lookup
+            # table (kTableSize in resize_bicubic); quantizing t the same
+            # way makes the match exact (verified to ~1e-7)
+            t = round(t * 1024.0) / 1024.0
+            taps = tuple((j0 + dj, cubic(t - dj)) for dj in (-1, 0, 1, 2))
+        for j, wgt in taps:
+            if wgt != 0.0:
+                W[i, min(max(j, 0), n_in - 1)] += wgt
+    return W
+
+
 class ImageScaling:
     """One scaling op compiled from a design dict (layer_func.py:1041-1186).
 
@@ -109,8 +147,18 @@ class ImageScaling:
         if self.method == "ps":
             return periodic_shuffling(x, abs(self.factor), self.factor > 0)
         if self.method in ("bil", "bic"):
-            method = "linear" if self.method == "bil" else "cubic"
-            return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method=method)
+            # the reference resizes with align_corners=True
+            # (layer_func.py:1142, :1152 — TF1 semantics, NOT the
+            # half-pixel-centers convention of jax.image.resize); built as
+            # two static interpolation matrices -> two matmuls (exact and
+            # MXU-friendly)
+            kind = "linear" if self.method == "bil" else "cubic"
+            wh = jnp.asarray(_resize_matrix(x.shape[1], h, kind))
+            ww = jnp.asarray(_resize_matrix(x.shape[2], w, kind))
+            y = jnp.einsum("oh,nhwc->nowc", wh.astype(jnp.float32),
+                           x.astype(jnp.float32))
+            y = jnp.einsum("pw,nowc->nopc", ww.astype(jnp.float32), y)
+            return y.astype(x.dtype)
         if self.method == "max":
             f = -self.factor
             return max_pool(x, f, f, "SAME")

@@ -218,3 +218,25 @@ def test_kernel_norms_observability(key):
     assert len(norms) == 8  # every SN'd conv/dense in the reference D
     for name, sigma in norms.items():
         assert np.isfinite(sigma) and sigma > 0, name
+
+
+def test_align_corners_resize_matches_tf1():
+    """'bil'/'bic' scaling uses TF1 align_corners=True semantics
+    (layer_func.py:1142/1152), not half-pixel centers."""
+    tf = pytest.importorskip("tensorflow").compat.v1
+    from mmdgan_tpu.models.scaling import ImageScaling
+
+    rng = np.random.RandomState(0)
+    for method, tf_fn, factor, shape in (
+            ("bil", tf.image.resize_bilinear, 2, (2, 5, 7, 3)),
+            ("bil", tf.image.resize_bilinear, -2, (2, 8, 12, 3)),
+            ("bic", tf.image.resize_bicubic, 2, (2, 5, 7, 3)),
+            ("bic", tf.image.resize_bicubic, 3, (2, 4, 4, 2))):
+        x = rng.randn(*shape).astype(np.float32)
+        sc = ImageScaling({"method": method, "factor": factor}, shape[1:])
+        ours = np.asarray(sc.apply(jnp.asarray(x)))
+        with tf.Graph().as_default(), tf.Session() as s:
+            ref = s.run(tf_fn(tf.constant(x), sc.output_shape[:2],
+                              align_corners=True))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"{method} factor={factor}")

@@ -295,3 +295,54 @@ def test_conditional_ops_match_reference(tmp_path, key):
         np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(
         np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-4, atol=5e-5)
+
+
+def test_res_and_nonlocal_blocks_match_reference(tmp_path, key):
+    """Residual generator block + non-local (SAGAN attention) pooled
+    discriminator block — reference graph vs ours with imported weights,
+    all variables randomized."""
+    from mmdgan_tpu.models.network import Net, Routine
+    from mmdgan_tpu.utils.tf1_import import TF1CheckpointImporter
+
+    data, variables = dump("resnl_nhwc", tmp_path)
+    gen_design = [
+        {"name": "l1", "out": 4 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [4, 4, 4]},
+        {"name": "l2", "type": "res", "out": 8, "act": "relu",
+         "act_nm": "bn", "kernel": [3, 3, 1], "strides": 1,
+         "scale": ["bil", 2]},
+        {"name": "l3", "out": 2, "op": "c", "act": "tanh", "kernel": 3,
+         "strides": 1},
+    ]
+    dis_design = [
+        {"name": "l1", "out": 8, "op": "c", "act": "lrelu",
+         "act_k": 1.3, "w_nm": "s", "kernel": 3, "strides": 2},
+        {"name": "l2", "type": "nl_pool", "op": "c",
+         "out": [2, 2, 8], "kernel": [1, 1, 1], "act": "linear",
+         "w_nm": None, "act_nm": "bn", "out_reshape": [4 * 4 * 8]},
+        {"name": "l3", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+    ]
+
+    def make(design, name, input_spec):
+        net = Net(design, net_name=name, compute_dtype=jnp.float32)
+        r = Routine(net)
+        r.add_input_layers(input_spec, [0])
+        r.seq_links(list(range(net.num_layers)))
+        r.add_output_layers([net.num_layers - 1])
+        return r
+
+    gen = make(gen_design, "gen", [16])
+    dis = make(dis_design, "dis", [2, 8, 8])
+    pg, sg = gen.init(key)
+    pd, sd = dis.init(jax.random.fold_in(key, 1))
+    pg, sg = TF1CheckpointImporter(gen, "NHWC").apply(pg, sg, variables)
+    pd, sd = TF1CheckpointImporter(dis, "NHWC").apply(pd, sd, variables)
+
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    out_g, _ = gen.apply(pg, sg, {"x": z, "y": None}, train=False)
+    out_d, _ = dis.apply(pd, sd, {"x": x, "y": None}, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-4, atol=5e-5)

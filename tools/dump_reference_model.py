@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense", "cifar_nhwc", "cond_nhwc"])
+    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense", "cifar_nhwc", "cond_nhwc", "resnl_nhwc"])
     p.add_argument("--out", required=True)
     p.add_argument("--reference", default="/root/reference")
     p.add_argument("--seed", type=int, default=0)
@@ -86,6 +86,28 @@ def main():
              "w_nm": "s", "kernel": 3, "strides": 2,
              "out_reshape": [4 * 4 * 8]},
             {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+        ]
+    elif args.mode == "resnl_nhwc":
+        # residual generator block + non-local (attention) discriminator
+        data_format = "channels_last"
+        code_size, batch = 16, 6
+        image_shape = [8, 8, 2]
+        gen_design = [
+            {"name": "l1", "out": 4 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [4, 4, 4]},
+            {"name": "l2", "type": "res", "out": 8, "act": "relu",
+             "act_nm": "bn", "kernel": [3, 3, 1], "strides": 1,
+             "scale": ["bil", 2]},
+            {"name": "l3", "out": 2, "op": "c", "act": "tanh", "kernel": 3,
+             "strides": 1},
+        ]
+        dis_design = [
+            {"name": "l1", "out": 8, "op": "c", "act": "lrelu",
+             "act_k": 1.3, "w_nm": "s", "kernel": 3, "strides": 2},
+            {"name": "l2", "type": "nl_pool", "op": "c",
+             "out": [2, 2, 8], "kernel": [1, 1, 1], "act": "linear",
+             "w_nm": None, "act_nm": "bn", "out_reshape": [4 * 4 * 8]},
+            {"name": "l3", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
         ]
     elif args.mode == "cond_nhwc":
         # conditional ops: cbn generator, cck/dck layers, projection D
@@ -194,7 +216,7 @@ def main():
             # and BN statistics would otherwise test trivial paths)
             for v in tf.global_variables():
                 shape = [int(s) for s in v.shape]
-                val = rng.randn(*shape).astype(np.float32) * 0.3
+                val = np.asarray(rng.randn(*shape), np.float32) * 0.3
                 if "moving_variance" in v.op.name:
                     val = np.abs(val) + 0.5
                 if "scale" in v.op.name.split("/")[-1]:
