@@ -160,17 +160,14 @@ class ReadTFRecords:
             if getattr(self, "_transpose_hw", False):
                 x = x.transpose(1, 0, 2)  # swap H and W (image_transpose)
             if resize is not None:
-                try:
-                    from PIL import Image
-                    img = np.asarray(
-                        Image.fromarray(
-                            ((x + 1.0) * 127.5).astype(np.uint8)
-                        ).resize((resize[1], resize[0]), Image.BILINEAR),
-                        np.float32,
-                    )
-                    x = img / 127.5 - 1.0
-                except ImportError:
-                    raise RuntimeError("resize requires PIL")
+                # the reference resizes in-pipeline with
+                # tf.image.resize_images(..., align_corners=True)
+                # (input_func.py:846-850); use the same interpolation
+                from mmdgan_tpu.models.scaling import _resize_matrix
+                wh = _resize_matrix(x.shape[0], resize[0], "linear")
+                ww = _resize_matrix(x.shape[1], resize[1], "linear")
+                x = np.einsum("oh,hwc->owc", wh, x)
+                x = np.einsum("pw,owc->opc", ww, x)
         elif self.num_features is not None:
             x = x.reshape(self.num_features)
         return x

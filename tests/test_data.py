@@ -356,3 +356,25 @@ def test_mdl_score_accepts_uint8_batches(key):
                             num_batch=2, model="ms_ssim")
     np.testing.assert_allclose(np.asarray(s_u8[0]), np.asarray(s_f32[0]),
                                rtol=1e-5)
+
+
+def test_pipeline_resize_matches_tf1_align_corners(tmp_path):
+    """In-pipeline resize uses tf.image.resize_images(align_corners=True)
+    semantics like the reference (input_func.py:846-850)."""
+    tf = pytest.importorskip("tensorflow").compat.v1
+    from mmdgan_tpu.data.converters import np_to_tfrecords
+    from mmdgan_tpu.data.pipeline import ReadTFRecords
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(4, 3 * 8 * 8), dtype=np.uint8)
+    np_to_tfrecords(imgs, None, str(tmp_path / "rz"))
+    pipe = ReadTFRecords(["rz"], file_folder=str(tmp_path), batch_size=4,
+                         buffer_size=1).shape2image(3, 8, 8, resize=(12, 12))
+    batch = next(pipe.next_batch())
+
+    chw = imgs.reshape(4, 3, 8, 8).astype(np.float32) / 127.5 - 1.0
+    hwc = np.transpose(chw, (0, 2, 3, 1))
+    with tf.Graph().as_default(), tf.Session() as s:
+        ref = s.run(tf.image.resize_images(tf.constant(hwc), (12, 12),
+                                           align_corners=True))
+    np.testing.assert_allclose(batch["x"], ref, rtol=1e-5, atol=1e-5)
