@@ -200,6 +200,13 @@ class TF1CheckpointImporter:
                         variables, f"{base}/kernel", layer, prev_layer))
                     p["c_kernel"] = jnp.asarray(
                         self._get(variables, f"{base}/c_kernel"))
+                elif d["op"] == "sc":
+                    p["depthwise_kernel"] = jnp.asarray(
+                        self._get(variables, f"{base}/depthwise_kernel"))
+                    p["pointwise_kernel"] = jnp.asarray(
+                        self._get(variables, f"{base}/pointwise_kernel"))
+                elif d["op"] in ("i", "max", "avg", "sum"):
+                    pass  # no parameters
                 elif d["op"] in ("cck", "tcck"):
                     w = self._get(variables, f"{base}/kernel")
                     if d["op"] == "tcck":

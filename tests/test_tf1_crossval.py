@@ -346,3 +346,56 @@ def test_res_and_nonlocal_blocks_match_reference(tmp_path, key):
         np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(
         np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-4, atol=5e-5)
+
+
+def test_misc_ops_match_reference(tmp_path, key):
+    """The remaining op catalogue: dcd, lrn, conditional biases (cb/bcb),
+    separable conv, sum-pool — reference graph vs ours with imported
+    weights, all variables randomized. (tcck is omitted: the reference
+    lists it but its _get_shape_ never implements it — layer_func.py:685
+    raises — so tcck is unusable in the reference as shipped.)"""
+    from mmdgan_tpu.models.network import Net, Routine
+    from mmdgan_tpu.utils.tf1_import import TF1CheckpointImporter
+
+    data, variables = dump("misc_nhwc", tmp_path)
+    gen_design = [
+        {"name": "l1", "op": "dcd", "out": 4 * 4 * 4, "act": "linear",
+         "act_nm": None, "out_reshape": [4, 4, 4]},
+        {"name": "l2", "op": "tc", "out": 4, "act": "relu",
+         "act_nm": "lrn", "kernel": 4, "strides": 2, "bias": "bcb"},
+        {"name": "l3", "op": "c", "out": 2, "act": "tanh", "kernel": 3,
+         "strides": 1, "bias": "cb"},
+    ]
+    dis_design = [
+        {"name": "l1", "op": "sc", "out": 8, "act": "lrelu",
+         "act_k": 1.3, "kernel": 3, "strides": 2},
+        {"name": "l2", "op": "sum", "out": 8, "kernel": 2, "strides": 2,
+         "act": "linear", "act_nm": None, "out_reshape": [2 * 2 * 8]},
+        {"name": "l3", "op": "d", "out": 4, "w_nm": "s", "act_k": 1.0},
+    ]
+
+    def make(design, name, input_spec):
+        net = Net(design, net_name=name, num_class=3,
+                  compute_dtype=jnp.float32)
+        r = Routine(net)
+        r.add_input_layers(input_spec, [0])
+        r.seq_links(list(range(net.num_layers)))
+        r.add_output_layers([net.num_layers - 1])
+        return r
+
+    gen = make(gen_design, "gen", [16])
+    dis = make(dis_design, "dis", [2, 8, 8])
+    pg, sg = gen.init(key)
+    pd, sd = dis.init(jax.random.fold_in(key, 1))
+    pg, sg = TF1CheckpointImporter(gen, "NHWC").apply(pg, sg, variables)
+    pd, sd = TF1CheckpointImporter(dis, "NHWC").apply(pd, sd, variables)
+
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    y = jnp.asarray(data["__y__"])
+    out_g, _ = gen.apply(pg, sg, {"x": z, "y": y}, train=False)
+    out_d, _ = dis.apply(pd, sd, {"x": x, "y": y}, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_g["x"]), data["__gen_out__"], rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_d["x"]), data["__dis_out__"], rtol=1e-4, atol=5e-5)

@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense", "cifar_nhwc", "cond_nhwc", "resnl_nhwc"])
+    p.add_argument("--mode", required=True, choices=["nhwc_conv", "nchw_dense", "cifar_nhwc", "cond_nhwc", "resnl_nhwc", "misc_nhwc"])
     p.add_argument("--out", required=True)
     p.add_argument("--reference", default="/root/reference")
     p.add_argument("--seed", type=int, default=0)
@@ -86,6 +86,31 @@ def main():
              "w_nm": "s", "kernel": 3, "strides": 2,
              "out_reshape": [4 * 4 * 8]},
             {"name": "l2", "out": 4, "op": "d", "w_nm": "s", "act_k": 1.0},
+        ]
+    elif args.mode == "misc_nhwc":
+        # the remaining op catalogue: dcd, tcck, lrn, conditional biases
+        # (cb/bcb), separable conv, sum-pool
+        data_format = "channels_last"
+        code_size, batch = 16, 6
+        num_class = 3
+        image_shape = [8, 8, 2]
+        gen_design = [
+            {"name": "l1", "op": "dcd", "out": 4 * 4 * 4, "act": "linear",
+             "act_nm": None, "out_reshape": [4, 4, 4]},
+            # NOTE: 'tcck' is in the reference's op catalogue but its
+            # _get_shape_ never implements it (layer_func.py:685 raises)
+            # — unusable there; we support it (tests/test_conditional).
+            {"name": "l2", "op": "tc", "out": 4, "act": "relu",
+             "act_nm": "lrn", "kernel": 4, "strides": 2, "bias": "bcb"},
+            {"name": "l3", "op": "c", "out": 2, "act": "tanh", "kernel": 3,
+             "strides": 1, "bias": "cb"},
+        ]
+        dis_design = [
+            {"name": "l1", "op": "sc", "out": 8, "act": "lrelu",
+             "act_k": 1.3, "kernel": 3, "strides": 2},
+            {"name": "l2", "op": "sum", "out": 8, "kernel": 2, "strides": 2,
+             "act": "linear", "act_nm": None, "out_reshape": [2 * 2 * 8]},
+            {"name": "l3", "op": "d", "out": 4, "w_nm": "s", "act_k": 1.0},
         ]
     elif args.mode == "resnl_nhwc":
         # residual generator block + non-local (attention) discriminator
