@@ -285,12 +285,13 @@ def build_device_data_step(
     (uint8 or f32) dataset already on device, ``data_y`` [N, 1] labels or
     None.
 
-    Multi-chip: pass ``mesh`` (and keep ``data_x`` sharded along axis 0
-    with ``P(axis)``) — each device then samples its batch_size/D local
-    examples from its OWN dataset shard via ``shard_map`` (per-device
-    RNG streams), so the dataset costs N/D memory per chip and sampling
-    needs no collectives; the sampled batch comes out sharded exactly as
-    the data-parallel step expects.
+    Multi-chip: use ``builder.with_mesh(mesh)`` on the returned function
+    (and keep ``data_x`` sharded along axis 0 with ``P(axis)``) — each
+    device then samples its batch_size/D local examples from its OWN
+    dataset shard via ``shard_map`` (per-device RNG streams), so the
+    dataset costs N/D memory per chip and sampling needs no collectives;
+    the sampled batch comes out sharded exactly as the data-parallel
+    step expects.
     """
     step = build_train_step(model, opt_dis, opt_gen)
 
