@@ -19,9 +19,12 @@ Op catalogue (layer_func.py:488-524):
 
 Spectral normalization (``w_nm='s'``) attaches a PICO power-iteration state
 and rescales the kernel by ``act_k / sigma`` at apply time
-(layer_func.py:785-892). TPU note: convs/matmuls run in ``compute_dtype``
-(bf16 by default) with float32 accumulation via ``preferred_element_type``;
-parameters, normalizers and statistics stay float32.
+(layer_func.py:785-892). TPU note: convs/matmuls and inter-op activations
+run in ``compute_dtype`` (bf16 by default; the MXU accumulates in f32
+internally); parameters, normalizers, BN statistics and routine outputs
+stay float32. (Tried and rejected: zero-padding <8-channel image convs
+for MXU lane utilization — XLA's algebraic simplifier strips the pads
+and reconstitutes the narrow conv, so it has no effect.)
 """
 
 from __future__ import annotations
