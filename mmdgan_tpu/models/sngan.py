@@ -246,10 +246,15 @@ class SNGan:
         out, _ = self.Dis.apply(params_d, state["dis"], batch, train=False)
         return out["x"]
 
-    def gradient_penalty(self, params_d, state, rng, x, x_gen, labels=None):
-        """WGAN-GP penalty E (||d D(x_hat)/d x_hat|| - 1)^2 (my_sngan.py:152-175)."""
+    def gradient_penalty(self, params_d, state, rng, x, x_gen, labels=None,
+                         uni=None):
+        """WGAN-GP penalty E (||d D(x_hat)/d x_hat|| - 1)^2 (my_sngan.py:152-175).
+
+        ``uni``: optional fixed [N,1,1,1] interpolation weights (for
+        deterministic cross-validation); sampled from ``rng`` otherwise."""
         batch_size = x.shape[0]
-        uni = jax.random.uniform(rng, (batch_size, 1, 1, 1))
+        if uni is None:
+            uni = jax.random.uniform(rng, (batch_size, 1, 1, 1))
         x_hat = x * uni + x_gen * (1.0 - uni)
 
         def score_sum(xh):
@@ -260,11 +265,14 @@ class SNGan:
         return jnp.mean(jnp.square(jnp.linalg.norm(g, axis=1) - 1.0))
 
     def mmd_gradient_penalty(
-        self, params_d, state, rng, x, x_gen, s_x, s_gen, mode="rep_gp", labels=None
+        self, params_d, state, rng, x, x_gen, s_x, s_gen, mode="rep_gp",
+        labels=None, uni=None
     ):
-        """MMD witness gradient penalty (my_sngan.py:178-223)."""
+        """MMD witness gradient penalty (my_sngan.py:178-223). ``uni``:
+        optional fixed interpolation weights (crossval determinism)."""
         batch_size = x.shape[0]
-        uni = jax.random.uniform(rng, (batch_size, 1, 1, 1))
+        if uni is None:
+            uni = jax.random.uniform(rng, (batch_size, 1, 1, 1))
         x_hat = x * uni + x_gen * (1.0 - uni)
 
         def witness_sum(xh):

@@ -343,3 +343,62 @@ def test_conditional_train_step_matches_reference(tmp_path, key):
     np.testing.assert_allclose(
         np.asarray(new_state["dis"]["dis/l3"]["project"]["sn_x"]),
         post["dis/l3/project/SN/in_rand"], rtol=1e-4, atol=1e-5)
+
+
+def test_mmd_gradient_penalty_matches_reference(tmp_path, key):
+    """The witness gradient penalty (second-order: gradients OF a
+    gradient-norm) against TF autodiff through the reference's own
+    witness/distance ops, at a fixed interpolation. NOTE: the reference
+    never wires this penalty into training (__gpu_task__ omits
+    dis_penalty and GANLoss asserts) — validated stand-alone."""
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.utils.tf1_import import import_reference_checkpoint
+
+    out = str(tmp_path / "ref_gp.npz")
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "dump_reference_train_step.py"),
+         "--out", out, "--gp"], capture_output=True, text=True, timeout=300)
+    if res.returncode != 0:
+        pytest.skip(f"reference gp dump failed: {res.stderr[-400:]}")
+    data = np.load(out)
+    pre = {k[4:]: data[k] for k in data.files if k.startswith("pre:")}
+
+    model = SNGan(ARCH, num_class=0, loss_type="rep_gp",
+                  compute_dtype=jnp.float32)
+    params, state, loss_state = model.init(key)
+    params, state = import_reference_checkpoint(
+        model, params, state, pre, data_format="NHWC")
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    uni = jnp.asarray(data["__gp_uni__"])
+
+    # generated batch + scores exactly as the dump produced them
+    gen_out, gen_state, _ = model.gen_stage(
+        params["gen"], state, key, {"x": x, "y": None},
+        train=True, code_batch={"x": z, "y": None})
+
+    def dis_loss(pd):
+        dis_in = model.concat_two_batches(
+            {"x": x, "y": None}, {"x": gen_out["x"], "y": None})
+        dis_out, _ = model.Dis.apply(pd, state["dis"], dis_in, train=True)
+        s_x, s_gen = jnp.split(dis_out["x"], 2, axis=0)
+        pen = model.mmd_gradient_penalty(
+            pd, state, key, x, gen_out["x"], s_x, s_gen, mode="rep_gp",
+            uni=uni)
+        _, ld, _ = model.loss_hp.apply(
+            s_gen, s_x, "rep", batch_size=x.shape[0], d=4)
+        return ld + 10.0 * pen, pen
+
+    (ld_gp, pen), g_dis = jax.value_and_grad(dis_loss, has_aux=True)(
+        params["dis"])
+    np.testing.assert_allclose(float(pen), float(data["__gp_penalty__"]),
+                               rtol=1e-4, atol=1e-6)
+    for name in ["dis/l1/kernel/kernel", "dis/l1/bias/bias",
+                 "dis/l2/kernel/kernel", "dis/l2/bias/bias"]:
+        ref = data["gpgrad:" + name]
+        scope, op, leaf = name.split("/")[0] + "/" + name.split("/")[1], \
+            name.split("/")[2], name.split("/")[3]
+        ours = np.asarray(g_dis[scope][op][leaf])
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-5,
+                                   err_msg=name)

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--lr-dis", type=float, default=1e-3)
     p.add_argument("--lr-gen", type=float, default=5e-4)
     p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--gp", action="store_true",
+                   help="also dump the MMD witness gradient penalty "
+                        "(my_sngan.py:178-223 composition with a fixed "
+                        "interpolation) and its discriminator gradients")
     p.add_argument("--conditional", action="store_true",
                    help="conditional model: cbn generator, cck/dck layers, "
                         "projection discriminator, 3 classes")
@@ -158,6 +162,34 @@ def main():
         loss_gen, loss_dis = GANLoss(do_summary=False).apply(
             s_gen, s_x, "rep", batch_size=batch, d=4)
 
+        gp_fetches = {}
+        if args.gp:
+            # the reference's mmd_gradient_penalty (my_sngan.py:178-223)
+            # composed from its own building blocks with a FIXED uni
+            # (__gpu_task__ never wires dis_penalty in the reference — a
+            # latent bug — so the penalty is validated stand-alone here)
+            from GeneralTools.math_func import get_squared_dist, witness_g
+            uni_np = rng.uniform(size=(batch, 1, 1, 1)).astype(np.float32)
+            uni = tf.constant(uni_np)
+            x_hat = x * uni + gen_out * (1.0 - uni)
+            s_hat = dis({"x": x_hat}, is_training=False)["x"]
+            dist_zx = get_squared_dist(s_hat, s_x, mode="xy", do_summary=False)
+            dist_zy = get_squared_dist(s_hat, s_gen, mode="xy", do_summary=False)
+            witness = witness_g(dist_zx, dist_zy, sigma=1.0, do_summary=False)
+            g_x_hat = tf.reshape(
+                tf.gradients(witness, x_hat)[0], [batch, -1])
+            penalty = tf.reduce_mean(
+                tf.square(tf.norm(g_x_hat, ord=2, axis=1) - 1))
+            loss_dis_gp = loss_dis + 10.0 * penalty
+            vars_dis_all = tf.get_collection(
+                tf.GraphKeys.TRAINABLE_VARIABLES, "dis")
+            for g, v in zip(tf.gradients(loss_dis_gp, vars_dis_all),
+                            vars_dis_all):
+                if g is not None:
+                    gp_fetches["gpgrad:" + v.op.name] = tf.convert_to_tensor(g)
+            gp_fetches["__gp_uni__"] = uni
+            gp_fetches["__gp_penalty__"] = penalty
+
         opt_dis = tf.train.AdamOptimizer(
             args.lr_dis, beta1=0.5, beta2=0.999, epsilon=1e-8)
         opt_gen = tf.train.AdamOptimizer(
@@ -208,6 +240,8 @@ def main():
         with tf.Session() as sess:
             sess.run(tf.global_variables_initializer())
             before = {v.op.name: sess.run(v) for v in model_vars}
+            if gp_fetches:
+                gp_vals = sess.run(gp_fetches)
             for step_i in range(args.steps):
                 lg, ld, grad_vals, upd_vals = sess.run(
                     [loss_gen, loss_dis, grad_fetches, update_values])
@@ -228,6 +262,9 @@ def main():
         out["post:" + name] = val
     for name, val in grad_vals.items():
         out[name] = val
+    if args.gp:
+        for name, val in gp_vals.items():
+            out[name] = val
     np.savez(args.out, **out)
     print(f"dumped {len(before)} variables pre/post; "
           f"loss_gen={lg:.6f} loss_dis={ld:.6f}")
