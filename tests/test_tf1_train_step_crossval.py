@@ -402,3 +402,57 @@ def test_mmd_gradient_penalty_matches_reference(tmp_path, key):
         ours = np.asarray(g_dis[scope][op][leaf])
         np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-5,
                                    err_msg=name)
+
+
+def test_mmd_gradient_scale_matches_reference(tmp_path, key):
+    """The scaled-MMD Jacobian-Frobenius discriminator scale and the
+    gradients of the scaled rep loss ((ld-1)*scale, math_func.py:2525)
+    vs TF autodiff through the reference's jacobian_squared_frobenius_norm
+    (also never wired into training by the reference — stand-alone)."""
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.models.sngan import jacobian_squared_frobenius_norm
+    from mmdgan_tpu.utils.tf1_import import import_reference_checkpoint
+
+    out = str(tmp_path / "ref_ds.npz")
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "dump_reference_train_step.py"),
+         "--out", out, "--ds"], capture_output=True, text=True, timeout=300)
+    if res.returncode != 0:
+        pytest.skip(f"reference ds dump failed: {res.stderr[-400:]}")
+    data = np.load(out)
+    pre = {k[4:]: data[k] for k in data.files if k.startswith("pre:")}
+
+    model = SNGan(ARCH, num_class=0, loss_type="rep_ds",
+                  compute_dtype=jnp.float32, penalty_weight=0.1)
+    params, state, loss_state = model.init(key)
+    params, state = import_reference_checkpoint(
+        model, params, state, pre, data_format="NHWC")
+    z = jnp.asarray(data["__z__"])
+    x = jnp.asarray(data["__x__"])
+    gen_out, _, _ = model.gen_stage(
+        params["gen"], state, key, {"x": x, "y": None},
+        train=True, code_batch={"x": z, "y": None})
+
+    def dis_loss(pd):
+        dis_in = model.concat_two_batches(
+            {"x": x, "y": None}, {"x": gen_out["x"], "y": None})
+        dis_out, _ = model.Dis.apply(pd, state["dis"], dis_in, train=True)
+        s_x, s_gen = jnp.split(dis_out["x"], 2, axis=0)
+        scale = model.mmd_gradient_scale(pd, state, x)
+        _, ld, _ = model.loss_hp.apply(
+            s_gen, s_x, "rep_ds", batch_size=x.shape[0], d=4,
+            dis_scale=scale)
+        return ld, scale
+
+    (ld, scale), g_dis = jax.value_and_grad(dis_loss, has_aux=True)(
+        params["dis"])
+    np.testing.assert_allclose(float(scale), float(data["__ds_scale__"]),
+                               rtol=1e-4, atol=1e-6)
+    for name in ["dis/l1/kernel/kernel", "dis/l1/bias/bias",
+                 "dis/l2/kernel/kernel", "dis/l2/bias/bias"]:
+        ref = data["dsgrad:" + name]
+        parts = name.split("/")
+        ours = np.asarray(g_dis[parts[0] + "/" + parts[1]][parts[2]][parts[3]])
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-5,
+                                   err_msg=name)

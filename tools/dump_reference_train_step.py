@@ -25,6 +25,10 @@ def main():
     p.add_argument("--lr-dis", type=float, default=1e-3)
     p.add_argument("--lr-gen", type=float, default=5e-4)
     p.add_argument("--steps", type=int, default=1)
+    p.add_argument("--ds", action="store_true",
+                   help="also dump the scaled-MMD Jacobian-Frobenius "
+                        "discriminator scale (my_sngan.py:226-240) and "
+                        "its gradients")
     p.add_argument("--gp", action="store_true",
                    help="also dump the MMD witness gradient penalty "
                         "(my_sngan.py:178-223 composition with a fixed "
@@ -189,6 +193,25 @@ def main():
                     gp_fetches["gpgrad:" + v.op.name] = tf.convert_to_tensor(g)
             gp_fetches["__gp_uni__"] = uni
             gp_fetches["__gp_penalty__"] = penalty
+        if args.ds:
+            # scaled MMD: dis_scale = 1/(0.1*mean(jaco_sfn)+1)
+            # (my_sngan.py:226-240; also never wired into training by
+            # the reference -- validated stand-alone)
+            from GeneralTools.math_func import jacobian_squared_frobenius_norm
+            x_var = tf.identity(x)
+            s_x_only = dis({"x": x_var}, is_training=False)["x"]
+            jaco = jacobian_squared_frobenius_norm(s_x_only, x_var)
+            dis_scale = 1.0 / (0.1 * tf.reduce_mean(jaco) + 1.0)
+            # rep_ds semantics: (loss_dis - 1) * scale (math_func.py:2525)
+            loss_dis_ds = (loss_dis - 1.0) * dis_scale
+            vars_dis_all = tf.get_collection(
+                tf.GraphKeys.TRAINABLE_VARIABLES, "dis")
+            for g, v in zip(tf.gradients(loss_dis_ds, vars_dis_all),
+                            vars_dis_all):
+                if g is not None:
+                    gp_fetches["dsgrad:" + v.op.name] = tf.convert_to_tensor(g)
+            gp_fetches["__ds_scale__"] = dis_scale
+            gp_fetches["__ds_jaco_mean__"] = tf.reduce_mean(jaco)
 
         opt_dis = tf.train.AdamOptimizer(
             args.lr_dis, beta1=0.5, beta2=0.999, epsilon=1e-8)
@@ -262,7 +285,7 @@ def main():
         out["post:" + name] = val
     for name, val in grad_vals.items():
         out[name] = val
-    if args.gp:
+    if args.gp or args.ds:
         for name, val in gp_vals.items():
             out[name] = val
     np.savez(args.out, **out)
