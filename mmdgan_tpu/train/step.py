@@ -376,7 +376,44 @@ def build_device_data_step(
 
         return sample
 
-    def make(mesh=None, axis: str = "data"):
+    def make(mesh=None, axis: str = "data", imbalanced=None):
+        """``imbalanced``: None (use the passed do_dis/do_gen flags), an
+        [a, b] period list, or 'dynamic' — the schedule is then computed
+        on device per step like ``imbalanced_scan``. With ``imbalanced``
+        set the returned fn has signature ``fn(ts, data_x, data_y, rng,
+        mmd_avg) -> (ts, rng, mmd_avg, metrics)`` (the loss EMA carries
+        across calls)."""
+        is_list = isinstance(imbalanced, (list, tuple))
+
+        def body_core(carry, sample):
+            ts, rng, avg = carry
+            rng, r_idx = jax.random.split(rng)
+            batch = sample(r_idx)
+            if is_list:
+                dd = (ts.step % imbalanced[0] == 0).astype(jnp.float32)
+                dg = (ts.step % imbalanced[1] == 0).astype(jnp.float32)
+            else:  # dynamic (graph_func.py:916-919)
+                rng, r_u = jax.random.split(rng)
+                u = jax.random.uniform(r_u)
+                dd = jnp.logical_or(
+                    ts.step < 1000,
+                    u < 0.1 / jnp.maximum(avg, 0.1)).astype(jnp.float32)
+                dg = jnp.ones(())
+            new_ts, metrics = step(ts, batch, dd, dg)
+            new_avg = 0.99 * avg + 0.01 * metrics["loss_gen"]
+            metrics["do_dis"] = dd
+            return (new_ts, rng, new_avg), metrics
+
+        if imbalanced is not None:
+            def multi_step_imb(ts, data_x, data_y, rng, mmd_avg):
+                sample = _sampler(data_x, data_y, mesh, axis)
+                (ts, rng, mmd_avg), metrics = jax.lax.scan(
+                    lambda c, _: body_core(c, sample),
+                    (ts, rng, mmd_avg), None, length=num_steps)
+                return ts, rng, mmd_avg, metrics
+
+            return multi_step_imb
+
         def multi_step(ts, data_x, data_y, rng, do_dis: Array, do_gen: Array):
             sample = _sampler(data_x, data_y, mesh, axis)
 

@@ -320,3 +320,35 @@ def test_device_data_same_class_sampling(key):
         assert len(np.unique(ys)) == 1, "batch mixes classes"
         sampled.append(int(ys[0, 0]))
     assert len(set(sampled)) > 1, "class never varies across batches"
+
+
+def test_device_data_imbalanced_dynamic(key):
+    """Device-dataset training with the on-device 'dynamic' schedule:
+    the loss EMA carries across launches and exact step counts run."""
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": None, "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [8 * 8]}],
+    }
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    builder = build_device_data_step(model, opt_d, opt_g, num_steps=4,
+                                     batch_size=16)
+    fn = jax.jit(builder.with_mesh(None, imbalanced="dynamic"))
+    data = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (64, 8, 8, 1), np.uint8))
+    rng = jax.random.PRNGKey(1)
+    avg = jnp.zeros(())
+    for _ in range(2):
+        ts, rng, avg, m = fn(ts, data, None, rng, avg)
+    assert int(jax.device_get(ts.step)) == 8
+    assert np.isfinite(float(np.asarray(m["loss_gen"])[-1]))
+    assert float(avg) != 0.0  # EMA carried
