@@ -262,7 +262,12 @@ class SNGan:
             return jnp.sum(s)
 
         g = jax.grad(score_sum)(x_hat).reshape(batch_size, -1)
-        return jnp.mean(jnp.square(jnp.linalg.norm(g, axis=1) - 1.0))
+        # sqrt(sum+eps), not linalg.norm: d||g||/dg = g/||g|| is NaN at
+        # g=0 (early training regularly hits zero witness gradients and
+        # the whole second-order step NaNs out). eps=1e-12 is below
+        # crossval tolerance.
+        norm = jnp.sqrt(jnp.sum(jnp.square(g), axis=1) + 1e-12)
+        return jnp.mean(jnp.square(norm - 1.0))
 
     def mmd_gradient_penalty(
         self, params_d, state, rng, x, x_gen, s_x, s_gen, mode="rep_gp",
@@ -293,7 +298,12 @@ class SNGan:
             return jnp.sum(wit)
 
         g = jax.grad(witness_sum)(x_hat).reshape(batch_size, -1)
-        return jnp.mean(jnp.square(jnp.linalg.norm(g, axis=1) - 1.0))
+        # sqrt(sum+eps), not linalg.norm: d||g||/dg = g/||g|| is NaN at
+        # g=0 (early training regularly hits zero witness gradients and
+        # the whole second-order step NaNs out). eps=1e-12 is below
+        # crossval tolerance.
+        norm = jnp.sqrt(jnp.sum(jnp.square(g), axis=1) + 1e-12)
+        return jnp.mean(jnp.square(norm - 1.0))
 
     def mmd_gradient_scale(self, params_d, state, x, labels=None):
         """Scaled-MMD discriminator scale from the Jacobian Frobenius norm
