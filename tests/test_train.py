@@ -2,6 +2,8 @@
 data-parallel execution with global-batch MMD semantics."""
 
 import os
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -235,9 +237,10 @@ def test_multi_step_equals_sequential(rng, key):
     assert int(ts_scan.step) == int(ts_seq.step) == 4
 
 
-@pytest.mark.parametrize("n", [2, 4, 8])
-def test_graft_dryrun_multichip(n):
-    """The driver's multichip dry-run must work for 2/4/8-device meshes."""
+@pytest.mark.parametrize("n", [2, 4])
+def test_graft_dryrun_multichip_inprocess(n):
+    """The multichip dry-run body works for sub-mesh sizes (in-process,
+    under the conftest-provisioned 8-CPU mesh)."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "_graft", os.path.join(os.path.dirname(os.path.dirname(__file__)),
@@ -245,6 +248,31 @@ def test_graft_dryrun_multichip(n):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(n)
+
+
+def test_graft_dryrun_multichip_subprocess_like_driver():
+    """Run dryrun_multichip(8) exactly the way the driver does: a fresh
+    interpreter with NO conftest and no CPU-forcing env vars, so the entry
+    must self-provision the virtual 8-device mesh (VERDICT r1 item 1)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                        "MMDGAN_DRYRUN_REAL_DEVICES")}
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import importlib.util; "
+        "spec = importlib.util.spec_from_file_location('_graft', %r); "
+        "m = importlib.util.module_from_spec(spec); "
+        "spec.loader.exec_module(m); m.dryrun_multichip(8)"
+    ) % (repo, os.path.join(repo, "__graft_entry__.py"))
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip(8): step ok" in proc.stdout
+    assert "sharded device-dataset ok" in proc.stdout
 
 
 @pytest.mark.parametrize("loss_type", [
