@@ -9,6 +9,7 @@ reader (mmdgan_tpu/data/tfrecord.py).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,18 +19,29 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "tfrec.cc")
-_SO = os.path.join(_REPO_ROOT, "native", "libtfrec.so")
 
 _lib = None
 _lock = threading.Lock()
 
 
-def _build() -> str:
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+def _so_path() -> str:
+    """Build-output path keyed on the SOURCE HASH, not mtime: the library
+    is compiled with -march=native, so a binary from another machine (or a
+    stale one next to a touched-but-identical source) must never be
+    dlopen'd — a content-addressed filename makes reuse exact."""
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_REPO_ROOT, "native", f"libtfrec-{digest}.so")
+
+
+def _build(so: str) -> str:
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    tmp = so + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
+           _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
-    return _SO
+    os.replace(tmp, so)  # atomic under concurrent builders
+    return so
 
 
 def get_lib():
@@ -37,12 +49,10 @@ def get_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.isfile(_SO) or (
-            os.path.isfile(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-        ):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        so = _so_path()
+        if not os.path.isfile(so):
+            _build(so)
+        lib = ctypes.CDLL(so)
         lib.tfrec_open.restype = ctypes.c_void_p
         lib.tfrec_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.tfrec_close.argtypes = [ctypes.c_void_p]
@@ -60,6 +70,7 @@ def get_lib():
         lib.tfrec_masked_crc32c.restype = ctypes.c_uint32
         lib.tfrec_masked_crc32c.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib._so_path = so
         _lib = lib
         return lib
 

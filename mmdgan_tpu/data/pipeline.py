@@ -176,9 +176,12 @@ class ReadTFRecords:
     def _sample_stream(self) -> Iterator[Dict[str, np.ndarray]]:
         """skip -> shuffle-buffer -> repeat (scheduler, input_func.py:871-928)."""
         epoch = 0
-        skipped = 0
         buf: List[Dict[str, np.ndarray]] = []
         while self.num_epoch is None or epoch < self.num_epoch:
+            # dataset.skip() precedes repeat() in the reference
+            # (input_func.py:871-928), so the first skip_count records are
+            # held out EVERY epoch, not just the first pass.
+            skipped = 0
             for ex in self._iter_raw():
                 if skipped < self.skip_count:
                     skipped += 1

@@ -395,15 +395,20 @@ class SNGan:
 
         dis_penalty = None
         dis_scale = None
+        # The penalties score B interpolates x_hat, so a conditional D
+        # needs B labels — the real batch's (the reference runs Dis(x_hat)
+        # unconditioned, my_sngan.py:160/189, but its conditional layers
+        # would fail without y; dis_in['y'] has 2B rows and trips a
+        # batch-dim mismatch).
         if self.loss_type in ("rep_gp", "rmb_gp", "fixed_g_gp", "fixed_t_gp"):
             dis_penalty = self.gp_weight * self.mmd_gradient_penalty(
                 params_dis, state, rng_gp, data_batch["x"], gen_out["x"],
-                s_x, s_gen, mode=self.loss_type, labels=dis_in.get("y"),
+                s_x, s_gen, mode=self.loss_type, labels=data_batch.get("y"),
             )
         elif self.loss_type == "wasserstein":
             dis_penalty = self.gp_weight * self.gradient_penalty(
                 params_dis, state, rng_gp, data_batch["x"], gen_out["x"],
-                labels=dis_in.get("y"),
+                labels=data_batch.get("y"),
             )
         elif self.loss_type in ("rep_ds", "rmb_ds"):
             dis_scale = self.mmd_gradient_scale(

@@ -117,8 +117,14 @@ def test_pipeline_repeat_and_skip(tmp_path):
         skip_count=2, num_epoch=2, use_native=False,
     ).shape2image(3, 8, 8)
     batches = list(pipe.next_batch())
-    # 2 epochs x 10 - 2 skipped = 18 -> 4 full batches
+    # 2 epochs x (10 - 2 skipped) = 16 -> 4 full batches
     assert len(batches) == 4
+    # dataset.skip() precedes repeat() in the reference, so the held-out
+    # first 2 records must be excluded EVERY epoch (ADVICE r1): with
+    # buffer_size=1 the stream is in file order, so epoch 2 starts at
+    # record 2 again — batch[2] == batch[0] exactly.
+    np.testing.assert_array_equal(batches[2]["x"], batches[0]["x"])
+    np.testing.assert_array_equal(batches[3]["x"], batches[1]["x"])
 
 
 def test_binary_converter(tmp_path):

@@ -296,6 +296,41 @@ def test_every_loss_type_trains(rng, key, loss_type):
     assert np.isfinite(float(metrics["loss_dis"])), loss_type
 
 
+COND_GP_ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(8, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+         "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+    "discriminator": [
+        {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+         "act_k": 1.3, "in_reshape": [8 * 8]},
+        {"name": "l2", "out": 1, "op": "d", "type": "project",
+         "w_nm": "s", "act_k": 1.0}],
+}
+
+
+@pytest.mark.parametrize("loss_type", ["rmb_gp", "rep_gp", "wasserstein"])
+def test_conditional_gradient_penalty_trains(rng, key, loss_type):
+    """Conditional models (projection D) with gradient-penalty losses: the
+    penalty scores B interpolates, so it must be fed B labels, not the 2B
+    concatenated dis_in['y'] (ADVICE r1 medium finding)."""
+    model = SNGan(COND_GP_ARCH, num_class=3, loss_type=loss_type)
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3], optimizer="adam")
+    ts = init_train_state(model, key, opt_d, opt_g)
+    step = jax.jit(build_train_step(model, opt_d, opt_g))
+    t = jnp.asarray(True)
+    for _ in range(2):
+        batch = {
+            "x": jnp.asarray(rng.randn(B, 8, 8, 1).astype(np.float32)),
+            "y": jnp.asarray(rng.randint(0, 3, size=(B, 1)).astype(np.int32)),
+        }
+        ts, metrics = step(ts, batch, t, t)
+    assert int(ts.step) == 2
+    assert np.isfinite(float(metrics["loss_gen"])), loss_type
+    assert np.isfinite(float(metrics["loss_dis"])), loss_type
+
+
 def test_device_data_same_class_sampling(key):
     """same_class device sampling: every batch is one class, matching the
     reference's group_by_window conditional batching."""
