@@ -1,15 +1,219 @@
-"""Multi-chip paths on the virtual 8-device CPU mesh."""
+"""Multi-chip paths on the virtual 8-device CPU mesh.
+
+Mesh-equality battery (VERDICT r1 item 2): the train step has
+*global-batch semantics*, so the same initial state + the same batches
+must give the same losses/params whether the batch lives on 1, 2, or 8
+devices. These are exactly the paths where SPMD partitioning can
+silently diverge from single-device math: conditional label gathers,
+second-order witness gradients (gp), Jacobian scales (ds), the
+on-device dynamic schedule, and the sharded HBM-resident dataset.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mmdgan_tpu.models import SNGan
+from mmdgan_tpu.parallel.mesh import DataParallel, make_mesh
+from mmdgan_tpu.train import (
+    build_train_step,
+    init_train_state,
+    multi_opt_config,
+)
+
+COND_ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(8, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+         "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+    "discriminator": [
+        {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+         "act_k": 1.3, "in_reshape": [8 * 8]},
+        {"name": "l2", "out": 1, "op": "d", "type": "project",
+         "w_nm": "s", "act_k": 1.0}],
+}
+
+PLAIN_ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(8, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+         "act_nm": None, "out_reshape": [1, 8, 8]}],
+    "discriminator": [
+        {"name": "l1", "out": 8, "op": "d", "act": "lrelu", "w_nm": "s",
+         "act_k": 1.3, "in_reshape": [8 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s"}],
+}
+
+B = 16
+
+
+def _run_steps(model, mesh_size, batches, num_class=0, steps=2):
+    """Run `steps` full train steps on a `mesh_size`-device mesh; returns
+    (losses, params). SGD keeps roundoff at roundoff (Adam's normalizer
+    amplifies zero-gradient noise into sign-arbitrary updates)."""
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+    dp = DataParallel(make_mesh(jax.devices()[:mesh_size]))
+    ts = dp.replicate(ts)
+    step = dp.compile_step(build_train_step(model, opt_d, opt_g))
+    t = jnp.asarray(True)
+    losses = []
+    for i in range(steps):
+        batch = dp.shard_batch(batches[i])
+        ts, m = step(ts, batch, t, t)
+        losses.append((float(m["loss_gen"]), float(m["loss_dis"])))
+    return losses, jax.device_get(ts.params)
+
+
+def _make_batches(steps=2, labels=None):
+    rng = np.random.RandomState(0)
+    out = []
+    for _ in range(steps):
+        b = {"x": rng.randn(B, 8, 8, 1).astype(np.float32), "y": None}
+        if labels is not None:
+            b["y"] = rng.randint(0, labels, size=(B, 1)).astype(np.int32)
+        out.append(b)
+    return out
+
+
+def _assert_mesh_equal(model_fn, labels=None, steps=2,
+                       loss_rtol=2e-4, param_rtol=2e-3):
+    batches = _make_batches(steps, labels=labels)
+    ref_losses, ref_params = _run_steps(model_fn(), 1, batches, steps=steps)
+    for n in (2, 8):
+        losses, params = _run_steps(model_fn(), n, batches, steps=steps)
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref_losses),
+            rtol=loss_rtol, atol=1e-5, err_msg=f"mesh size {n} losses")
+        for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=param_rtol, atol=1e-6,
+                err_msg=f"mesh size {n} params")
+
+
+def test_mesh_equality_conditional():
+    """cbn generator + projection discriminator: label gathers under a
+    sharded batch (code labels tied to the data labels)."""
+    def mk():
+        m = SNGan(COND_ARCH, num_class=3, loss_type="rep",
+                  compute_dtype=jnp.float32)
+        m.sample_same_class = True
+        return m
+    _assert_mesh_equal(mk, labels=3)
+
+
+def test_mesh_equality_rmb_gp():
+    """Second-order witness gradients + interpolates under sharding."""
+    _assert_mesh_equal(
+        lambda: SNGan(PLAIN_ARCH, num_class=0, loss_type="rmb_gp",
+                      compute_dtype=jnp.float32))
+
+
+def test_mesh_equality_conditional_gp():
+    """Conditional D + witness gradient penalty: the B-label path through
+    the penalty (ADVICE r1 medium) must also hold on a mesh."""
+    def mk():
+        m = SNGan(COND_ARCH, num_class=3, loss_type="rmb_gp",
+                  compute_dtype=jnp.float32)
+        m.sample_same_class = True
+        return m
+    _assert_mesh_equal(mk, labels=3)
+
+
+def test_mesh_equality_rmb_ds():
+    """Scaled-MMD Jacobian discriminator scale under sharding."""
+    _assert_mesh_equal(
+        lambda: SNGan(PLAIN_ARCH, num_class=0, loss_type="rmb_ds",
+                      compute_dtype=jnp.float32))
+
+
+def test_mesh_equality_dynamic_imbalanced_scan():
+    """The on-device dynamic schedule (coin flips from the carried rng)
+    must be identical across mesh sizes, and so must the resulting
+    params."""
+    from mmdgan_tpu.train.step import build_imbalanced_multi_step
+
+    K = 4
+    rng = np.random.RandomState(0)
+    stacked = {
+        "x": rng.randn(K, B, 8, 8, 1).astype(np.float32),
+        "y": None,
+    }
+
+    results = {}
+    for n in (1, 2, 8):
+        model = SNGan(PLAIN_ARCH, num_class=0, loss_type="rep",
+                      compute_dtype=jnp.float32)
+        opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+        ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+        dp = DataParallel(make_mesh(jax.devices()[:n]))
+        ts = dp.replicate(ts)
+        fn = jax.jit(build_imbalanced_multi_step(
+            model, opt_d, opt_g, num_steps=K, imbalanced="dynamic"))
+        batches = dp.shard_multi_batch(stacked)
+        ts, _, avg, metrics = fn(
+            ts, batches, jax.random.PRNGKey(3), jnp.ones(()))
+        results[n] = (np.asarray(metrics["do_dis"]),
+                      np.asarray(metrics["loss_gen"]),
+                      jax.device_get(ts.params))
+
+    dd1, lg1, p1 = results[1]
+    for n in (2, 8):
+        ddn, lgn, pn = results[n]
+        np.testing.assert_array_equal(ddn, dd1, err_msg=f"schedule n={n}")
+        np.testing.assert_allclose(lgn, lg1, rtol=2e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pn)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-6)
+
+
+def test_device_dataset_sharded_vs_replicated():
+    """Sharded HBM-resident dataset vs the same data replicated: with a
+    constant-row dataset (sampling composition neutralized) the sharded
+    shard_map sampler + SPMD step must equal the single-device path."""
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    model = SNGan(PLAIN_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    row = np.random.RandomState(0).randint(0, 256, (1, 8, 8, 1), np.uint8)
+    data_np = np.broadcast_to(row, (64, 8, 8, 1)).copy()
+    on = jnp.ones(())
+
+    def run(mesh_size):
+        ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+        dp = DataParallel(make_mesh(jax.devices()[:mesh_size]))
+        ts = dp.replicate(ts)
+        builder = build_device_data_step(
+            model, opt_d, opt_g, num_steps=3, batch_size=16)
+        if mesh_size == 1:
+            fn = jax.jit(builder)
+            data = jnp.asarray(data_np)
+        else:
+            fn = jax.jit(builder.with_mesh(dp.mesh))
+            data = jax.device_put(
+                data_np, NamedSharding(dp.mesh, P("data")))
+        ts, _, m = fn(ts, data, None, jax.random.PRNGKey(5), on, on)
+        return np.asarray(m["loss_gen"]), jax.device_get(ts.params)
+
+    lg1, p1 = run(1)
+    for n in (2, 8):
+        lgn, pn = run(n)
+        np.testing.assert_allclose(lgn, lg1, rtol=2e-4, atol=1e-5,
+                                   err_msg=f"mesh size {n}")
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pn)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-6)
+
 
 def test_device_dataset_sharded_sampling_8_devices(key):
     """HBM-resident dataset sharded over the mesh: each device samples
     its local rows (shard_map, per-device RNG); full train steps run."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from mmdgan_tpu.models import SNGan
-    from mmdgan_tpu.parallel.mesh import DataParallel
-    from mmdgan_tpu.train import init_train_state, multi_opt_config
     from mmdgan_tpu.train.step import build_device_data_step
 
     arch = {
@@ -39,3 +243,35 @@ def test_device_dataset_sharded_sampling_8_devices(key):
     ts, rng, m = fn(ts, data, None, rng, on, on)
     assert int(jax.device_get(ts.step)) == 8
     assert np.isfinite(float(np.asarray(m["loss_gen"])[-1]))
+
+
+def test_prefetch_propagates_producer_failure():
+    """A decode/transfer error in the background producer must surface in
+    the consuming loop, not masquerade as clean end-of-data (VERDICT r1
+    weak #2)."""
+    dp = DataParallel()
+
+    def bad_iter():
+        yield {"x": np.zeros((8, 4, 4, 1), np.float32), "y": None}
+        raise RuntimeError("decode exploded")
+
+    it = dp.prefetch(bad_iter(), size=2)
+    first = next(it)
+    assert first["x"].shape == (8, 4, 4, 1)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        for _ in it:
+            pass
+
+
+def test_prefetch_consumer_abandon_releases_producer():
+    """Closing the consumer generator mid-stream must not wedge on a full
+    queue (and must not raise)."""
+    dp = DataParallel()
+
+    def many():
+        for _ in range(100):
+            yield {"x": np.zeros((8, 4, 4, 1), np.float32), "y": None}
+
+    it = dp.prefetch(many(), size=2)
+    next(it)
+    it.close()
