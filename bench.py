@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: CIFAR-10 SNGAN train-step throughput, batch 64.
+"""Benchmark: SNGAN train-step throughput across the reference's four
+dataset architectures, plus the HBM-resident real-data path.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+Prints ONE JSON line per metric:
+  {"metric": "...", "value": N, "unit": "steps/sec", "vs_baseline": N}
 
-Baseline: the reference (TF 1.8, single GPU, graph_func.py:944-946 duration
-logging) publishes no throughput numbers; BASELINE.md directs us to
-characterize it. We use 12 steps/sec as the assumed TF1-GPU figure for a
-batch-64 SN-DCGAN at 32x32 (typical for TF1.8 + cuDNN7 on the era's
-hardware); vs_baseline = measured / 12.0. The north-star is >=5x.
+The flagship CIFAR line is printed FIRST (so a partial run still records
+the headline) and repeated LAST (so last-line parsers also get it).
+Single-arch mode: ``--arch cifar|stl|celeba|lsun`` emits just that line.
+
+Baselines: the reference (TF 1.8, single GPU, graph_func.py:944-946
+duration logging) publishes no throughput numbers; BASELINE.md directs us
+to characterize it. We assume 12 steps/sec for the TF1-GPU batch-64
+SN-DCGAN at 32x32 (typical for TF1.8 + cuDNN7 on the era's hardware) and
+pixel-scale it for the larger architectures (conv FLOPs in this family
+grow ~linearly with the pixel count): stl48 12*(32/48)^2 = 5.33,
+celeba/lsun 64 -> 3.0.
 """
 
 import json
@@ -25,9 +32,11 @@ import numpy as np
 from mmdgan_tpu.models import SNGan
 from mmdgan_tpu.train import build_train_step, init_train_state, multi_opt_config
 from mmdgan_tpu.parallel import DataParallel
-from experiments.architectures import celeba_architecture, cifar_architecture
 
-REF_BASELINE_STEPS_PER_SEC = 12.0  # assumed TF1-GPU baseline (see docstring)
+# assumed TF1-GPU figures (see module docstring)
+BASELINES = {"cifar": 12.0, "stl": 12.0 * (32.0 / 48.0) ** 2,
+             "celeba": 12.0 * (32.0 / 64.0) ** 2,
+             "lsun": 12.0 * (32.0 / 64.0) ** 2}
 
 BATCH = 64
 SCAN_K = 16     # steps fused per launch (lax.scan) — amortizes dispatch
@@ -35,43 +44,32 @@ WARMUP_CALLS = 2
 MEASURE_STEPS = 512
 
 
-def main():
-    import argparse
+def _arch_and_img(name):
+    from experiments.architectures import (
+        celeba_architecture, cifar_architecture, lsun_architecture,
+        stl_architecture)
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="cifar", choices=["cifar", "stl", "celeba", "lsun"])
-    args = ap.parse_args()
-    if args.arch == "celeba":
-        arch = celeba_architecture()
-        img = 64
-        metric_name = "celeba64_sngan_rep_b64_train_steps_per_sec_per_chip"
-    elif args.arch == "lsun":
-        from experiments.architectures import lsun_architecture
-        arch = lsun_architecture()
-        img = 64
-        metric_name = "lsun64_sngan_rep_b64_train_steps_per_sec_per_chip"
-    elif args.arch == "stl":
-        from experiments.architectures import stl_architecture
-        arch = stl_architecture()
-        img = 48
-        metric_name = "stl48_sngan_rep_b64_train_steps_per_sec_per_chip"
-    else:
-        arch = cifar_architecture()
-        img = 32
-        metric_name = "cifar10_sngan_rep_b64_train_steps_per_sec_per_chip"
+    return {
+        "cifar": (cifar_architecture, 32),
+        "stl": (stl_architecture, 48),
+        "celeba": (celeba_architecture, 64),
+        "lsun": (lsun_architecture, 64),
+    }[name][0](), {"cifar": 32, "stl": 48, "celeba": 64, "lsun": 64}[name]
+
+
+def bench_arch(name, dp):
+    """Synthetic-feed throughput for one architecture; returns the metric
+    dict. Timings force a host fetch of final metric values —
+    block_until_ready alone under-reports on tunneled backends."""
+    arch, img = _arch_and_img(name)
     model = SNGan(arch, num_class=0, loss_type="rep")
     opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
     from mmdgan_tpu.train.step import build_multi_step
 
-    step_fn = build_multi_step(model, opt_d, opt_g, SCAN_K)
-
-    dp = DataParallel()
-    n_chips = dp.num_devices
+    step = dp.compile_step(build_multi_step(model, opt_d, opt_g, SCAN_K))
     ts = dp.replicate(ts)
-    step = dp.compile_step(step_fn)
 
-    # pre-stage stacked device batches so host decode is off the clock
     rng = np.random.RandomState(0)
     batches = dp.shard_multi_batch({
         "x": rng.randn(SCAN_K, BATCH, img, img, 3).astype(np.float32).clip(-1, 1),
@@ -79,8 +77,6 @@ def main():
     })
     t = jnp.asarray(True)
 
-    # NOTE: timings force a host fetch of the final metric values —
-    # block_until_ready alone under-reports on tunneled backends.
     for _ in range(WARMUP_CALLS):
         ts, m = step(ts, batches, t, t)
     float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
@@ -93,18 +89,83 @@ def main():
     dur = time.perf_counter() - start
 
     steps_per_sec = n_calls * SCAN_K / dur
+    n_chips = dp.num_devices
     per_chip = steps_per_sec / max(n_chips, 1) if n_chips > 1 else steps_per_sec
     print(
-        f"[bench] {steps_per_sec:.2f} steps/s total on {n_chips} chip(s); "
-        f"loss_gen={final_loss:.4f}",
+        f"[bench] {name}{img}: {steps_per_sec:.2f} steps/s total on "
+        f"{n_chips} chip(s); loss_gen={final_loss:.4f}",
         file=sys.stderr,
     )
-    print(json.dumps({
-        "metric": metric_name,
+    return {
+        "metric": f"{'cifar10' if name == 'cifar' else name + str(img)}"
+                  f"_sngan_rep_b64_train_steps_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "steps/sec",
-        "vs_baseline": round(per_chip / REF_BASELINE_STEPS_PER_SEC, 3),
-    }))
+        "vs_baseline": round(per_chip / BASELINES[name], 3),
+    }
+
+
+def bench_hbm_dataset(dp):
+    """Real-data path: CIFAR-sized uint8 dataset resident in HBM, batches
+    gathered on device (the content is synthetic; the measured cost —
+    gather + uint8 decode + train step, zero host link — is the same)."""
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    arch, img = _arch_and_img("cifar")
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
+    ts = dp.replicate(init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g))
+    builder = build_device_data_step(
+        model, opt_d, opt_g, num_steps=SCAN_K, batch_size=BATCH)
+    fn = jax.jit(builder)
+    data = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (50000, img, img, 3), np.uint8))
+    rng = jax.random.PRNGKey(1)
+    t = jnp.asarray(True)
+    for _ in range(WARMUP_CALLS):
+        ts, rng, m = fn(ts, data, None, rng, t, t)
+    float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
+
+    n_calls = MEASURE_STEPS // SCAN_K
+    start = time.perf_counter()
+    for _ in range(n_calls):
+        ts, rng, m = fn(ts, data, None, rng, t, t)
+    float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
+    dur = time.perf_counter() - start
+    steps_per_sec = n_calls * SCAN_K / dur
+    print(f"[bench] cifar32 hbm-dataset: {steps_per_sec:.2f} steps/s",
+          file=sys.stderr)
+    return {
+        "metric": "cifar10_sngan_rep_b64_hbm_dataset_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / BASELINES["cifar"], 3),
+    }
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="all",
+                    choices=["all", "cifar", "stl", "celeba", "lsun"])
+    ap.add_argument("--skip-hbm", action="store_true",
+                    help="skip the HBM-resident dataset metric in --arch all")
+    args = ap.parse_args()
+
+    dp = DataParallel()
+    if args.arch != "all":
+        print(json.dumps(bench_arch(args.arch, dp)), flush=True)
+        return
+
+    flagship = bench_arch("cifar", dp)
+    print(json.dumps(flagship), flush=True)
+    if not args.skip_hbm:
+        print(json.dumps(bench_hbm_dataset(dp)), flush=True)
+    for name in ("stl", "celeba", "lsun"):
+        print(json.dumps(bench_arch(name, dp)), flush=True)
+    # repeat the flagship LAST for last-line parsers
+    print(json.dumps(flagship), flush=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,9 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--lr-gen", type=float, default=2e-4)
     p.add_argument("--end-lr", type=float, default=1e-7)
     p.add_argument("--optimizer", default="adam")
+    p.add_argument("--bf16-moments", action="store_true",
+                   help="store optimizer slots (Adam m/v) in bfloat16 — "
+                        "~6%% faster step, breaks strict TF1 parity")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--act-k", type=float, default=None,
                    help="activation compensation multiplier (default per dataset)")
@@ -177,7 +180,8 @@ def run_experiment(
 
     opt_d, opt_g = multi_opt_config(
         lr_list, end_lr=args.end_lr, optimizer=args.optimizer,
-        target_step=args.chunks * args.steps_per_chunk)
+        target_step=args.chunks * args.steps_per_chunk,
+        bf16_moments=args.bf16_moments)
     ts = init_train_state(model, jax.random.PRNGKey(args.seed), opt_d, opt_g)
     step_fn = build_train_step(model, opt_d, opt_g)
     dp = DataParallel()

@@ -79,9 +79,37 @@ class ReadTFRecords:
         # (SNGan.compute_losses/dis_stage) decodes uint8 batches
         # transparently; numerics identical (same f32 op, run on device).
         self.device_decode = device_decode
+        # per-host sharding (multi-process SPMD, docs/multihost.md):
+        # (num_shards, shard_index) or None = unsharded
+        self._shard: Optional[tuple] = None
         # image shaping (shape2image, input_func.py:826-868)
         self._image_shape: Optional[tuple] = None
         self.batch_shape = [batch_size, num_features]
+
+    def shard(self, num_shards: Optional[int] = None,
+              shard_index: Optional[int] = None):
+        """Restrict this pipeline to one host's shard of the dataset
+        (multi-host data parallelism, docs/multihost.md).
+
+        Defaults to ``jax.process_count()`` / ``jax.process_index()``.
+        With at least ``num_shards`` files the split is per-file (disjoint
+        files per host, zero overhead); otherwise record-level round-robin
+        (every host still reads all bytes but keeps 1/num_shards of the
+        records). Pair with ``batch_size = global_batch // num_shards``
+        and ``DataParallel.shard_batch``'s process-local path.
+        """
+        if num_shards is None or shard_index is None:
+            import jax
+            num_shards = jax.process_count()
+            shard_index = jax.process_index()
+        assert 0 <= shard_index < num_shards
+        if num_shards == 1:
+            return self
+        if len(self.filenames) >= num_shards:
+            self.filenames = self.filenames[shard_index::num_shards]
+        else:
+            self._shard = (num_shards, shard_index)
+        return self
 
     def shape2image(self, channels: int, height: int, width: int, resize=None,
                     transpose: bool = False):
@@ -115,12 +143,19 @@ class ReadTFRecords:
             capacity = c * h * w + 256
         elif self.num_features is not None:
             capacity = self.num_features * 8 + 256
+        i = 0
         for path in self.filenames:
             if native is not None:
                 record_iter = native(path, capacity=capacity)
             else:
                 record_iter = reader_cls(path)
             for record in record_iter:
+                if self._shard is not None:
+                    n, k = self._shard
+                    keep = (i % n) == k
+                    i += 1
+                    if not keep:
+                        continue
                 yield self._decode(record)
 
     def _decode(self, record) -> Dict[str, np.ndarray]:

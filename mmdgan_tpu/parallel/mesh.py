@@ -60,36 +60,78 @@ class DataParallel:
     def num_devices(self) -> int:
         return self.mesh.size
 
-    def shard_batch(self, batch):
-        """Shard dict/array leading (batch) axis over the data axis."""
+    @property
+    def process_count(self) -> int:
+        return jax.process_count()
 
-        def put(x):
-            if x is None:
-                return None
-            x = jnp.asarray(x)
-            assert x.shape[0] % self.mesh.size == 0, (
-                f"batch dim {x.shape[0]} not divisible by mesh size {self.mesh.size}"
-            )
-            return jax.device_put(x, self.batch_sharding)
+    def local_batch_size(self, global_batch_size: int) -> int:
+        """The per-process slice of the global batch each host must feed
+        (multi-host contract, docs/multihost.md)."""
+        n = self.process_count
+        assert global_batch_size % n == 0, (
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes")
+        return global_batch_size // n
+
+    def shard_batch(self, batch, batch_dim: int = 0):
+        """Shard dict/array batch axis over the data axis.
+
+        Process-count-aware (docs/multihost.md): under one process the
+        arrays are the global batch and a plain sharded ``device_put``
+        suffices; under multi-process SPMD each process passes its LOCAL
+        slice (``local_batch_size`` rows, this host's pipeline shard) and
+        the global array is assembled with
+        ``jax.make_array_from_process_local_data`` — ``device_put`` of a
+        globally-materialized array cannot address other hosts' devices.
+        """
+        sharding = (self.batch_sharding if batch_dim == 0
+                    else NamedSharding(self.mesh, P(*([None] * batch_dim + [self.axis]))))
+        nproc = self.process_count
+        if nproc == 1:
+            def put(x):
+                if x is None:
+                    return None
+                x = jnp.asarray(x)
+                assert x.shape[batch_dim] % self.mesh.size == 0, (
+                    f"batch dim {x.shape[batch_dim]} not divisible by mesh "
+                    f"size {self.mesh.size}")
+                return jax.device_put(x, sharding)
+        else:
+            def put(x):
+                if x is None:
+                    return None
+                x = np.asarray(x)
+                gshape = list(x.shape)
+                gshape[batch_dim] *= nproc
+                return jax.make_array_from_process_local_data(
+                    sharding, x, tuple(gshape))
 
         return jax.tree.map(put, batch, is_leaf=lambda v: v is None)
 
     def shard_multi_batch(self, batches):
         """Shard [K, B, ...] stacked batches over the data axis on dim 1
-        (the scan axis K stays unsharded)."""
-        sharding = NamedSharding(self.mesh, P(None, self.axis))
+        (the scan axis K stays unsharded). Multi-host: pass the local
+        [K, B/nproc, ...] slice, as with ``shard_batch``."""
+        return self.shard_batch(batches, batch_dim=1)
+
+    def replicate(self, tree):
+        """Replicate a pytree onto every device.
+
+        Multi-host: ``device_put`` cannot target other hosts' devices, so
+        the replicated global array is built from the process-local copy —
+        every process MUST hold the same host value (deterministic init
+        from a shared seed; docs/multihost.md)."""
+        if self.process_count == 1:
+            return jax.device_put(tree, self.replicated)
 
         def put(x):
             if x is None:
                 return None
-            x = jnp.asarray(x)
-            assert x.shape[1] % self.mesh.size == 0
-            return jax.device_put(x, sharding)
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                self.replicated, x, x.shape)
 
-        return jax.tree.map(put, batches, is_leaf=lambda v: v is None)
-
-    def replicate(self, tree):
-        return jax.device_put(tree, self.replicated)
+        return jax.tree.map(put, tree, is_leaf=lambda v: v is None)
 
     def compile_step(self, step_fn: Callable, donate_state: bool = False) -> Callable:
         """jit the train step: state replicated, batch sharded.

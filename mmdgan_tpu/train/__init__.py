@@ -5,7 +5,11 @@ Rebuilds the reference's optimizer config + MySession/Agent runtime
 train step and Orbax checkpointing.
 """
 
-from mmdgan_tpu.train.optim import multi_opt_config, opt_config  # noqa: F401
+from mmdgan_tpu.train.optim import (  # noqa: F401
+    multi_opt_config,
+    opt_config,
+    with_bf16_slots,
+)
 from mmdgan_tpu.train.state import TrainState  # noqa: F401
 from mmdgan_tpu.train.step import build_train_step, init_train_state  # noqa: F401
 from mmdgan_tpu.train.trainer import Agent  # noqa: F401

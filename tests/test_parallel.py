@@ -245,6 +245,50 @@ def test_device_dataset_sharded_sampling_8_devices(key):
     assert np.isfinite(float(np.asarray(m["loss_gen"])[-1]))
 
 
+def test_shard_batch_process_local_construction():
+    """The multi-host input construction
+    (jax.make_array_from_process_local_data) must agree with the
+    single-process device_put path when nproc == 1 — the guard that the
+    process-local branch doesn't regress anything (docs/multihost.md)."""
+    dp = DataParallel()
+    x = np.random.RandomState(0).randn(16, 4, 4, 1).astype(np.float32)
+    via_put = dp.shard_batch({"x": x, "y": None})
+    assert dp.process_count == 1
+    local = jax.make_array_from_process_local_data(
+        dp.batch_sharding, x, x.shape)
+    np.testing.assert_array_equal(np.asarray(local), np.asarray(via_put["x"]))
+    assert local.sharding == via_put["x"].sharding
+
+    # local_batch_size contract
+    assert dp.local_batch_size(64) == 64
+
+
+def test_pipeline_shard_partitions_records(tmp_path):
+    """pipeline.shard(n, i): the n shards are disjoint and exhaustive
+    (record-level round-robin when there are fewer files than shards)."""
+    from mmdgan_tpu.data import ReadTFRecords, np_to_tfrecords
+
+    n = 24
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, size=(n, 3, 4, 4), dtype=np.uint8)
+    np_to_tfrecords(x, rng.randint(0, 4, size=n), str(tmp_path / "img"))
+
+    def rows(num_shards, idx):
+        pipe = ReadTFRecords(
+            "img", num_labels=1, batch_size=1, file_folder=str(tmp_path),
+            buffer_size=1, num_epoch=1, use_native=False,
+        ).shape2image(3, 4, 4).shard(num_shards, idx)
+        return [b["x"][0] for b in pipe.next_batch()]
+
+    parts = [rows(4, i) for i in range(4)]
+    assert sum(len(p) for p in parts) == n
+    assert all(len(p) == n // 4 for p in parts)
+    # disjoint + exhaustive: re-assembling the round-robin recovers the file order
+    full = rows(1, 0)
+    recombined = [parts[i % 4][i // 4] for i in range(n)]
+    np.testing.assert_array_equal(np.stack(recombined), np.stack(full))
+
+
 def test_prefetch_propagates_producer_failure():
     """A decode/transfer error in the background producer must surface in
     the consuming loop, not masquerade as clean end-of-data (VERDICT r1

@@ -153,6 +153,49 @@ def test_data_parallel_8_devices(rng, key):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
 
 
+def test_bf16_moments_flag(rng, key):
+    """bf16_moments stores Adam slots in bfloat16; the default keeps
+    them f32 (strict-parity mode, bitwise-identical optimizer config);
+    training under bf16 slots tracks the f32 run closely."""
+    import optax
+
+    model = make_model()
+    batchs = [make_batch(np.random.RandomState(3)) for _ in range(4)]
+    t = jnp.asarray(True)
+
+    def run(bf16):
+        opt_d, opt_g = multi_opt_config(
+            [1e-3, 1e-3], optimizer="adam", bf16_moments=bf16)
+        ts = init_train_state(model, key, opt_d, opt_g)
+        if bf16:
+            dtypes = {l.dtype for l in jax.tree.leaves(ts.opt_state_gen)
+                      if hasattr(l, "dtype") and l.ndim > 0}
+            assert np.dtype(jnp.bfloat16) in dtypes, dtypes
+            assert np.dtype(jnp.float32) not in dtypes, dtypes
+        step = jax.jit(build_train_step(model, opt_d, opt_g))
+        for b in batchs:
+            ts, m = step(ts, b, t, t)
+        return float(m["loss_gen"]), jax.device_get(ts.params)
+
+    loss32, p32 = run(False)
+    loss16, p16 = run(True)
+    assert np.isfinite(loss16)
+    # bf16 slot storage perturbs moments at roundoff level only
+    np.testing.assert_allclose(loss16, loss32, rtol=0.05, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(p16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=2e-2)
+
+    # default (flag off) is the plain optax optimizer — strict parity mode
+    o_plain = opt_config(1e-3, optimizer="adam")
+    o_default = multi_opt_config([1e-3], optimizer="adam")[0]
+    p = {"w": jnp.ones((3,))}
+    g = {"w": jnp.full((3,), 0.1)}
+    u1, _ = o_plain.update(g, o_plain.init(p), p)
+    u2, _ = o_default.update(g, o_default.init(p), p)
+    np.testing.assert_array_equal(np.asarray(u1["w"]), np.asarray(u2["w"]))
+
+
 def test_opt_config_schedules():
     import optax
 
