@@ -7,9 +7,11 @@ hard-coded script constants.
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 import sys
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -202,7 +204,15 @@ def run_experiment(
               f"{device_data['x'].dtype} "
               f"({device_data['x'].nbytes / 1e6:.0f} MB to HBM)")
 
+    # assumed TF1-GPU reference throughput at this resolution (bench.py
+    # BASELINES: 12 steps/s at 32x32, scaled by pixel count)
+    baseline_sps = 12.0 * (32.0 / max(h, w)) ** 2
+    train_seconds = 0.0
+    train_steps = 0
+
     for chunk in range(args.chunks):
+        step_before = int(jax.device_get(ts.step))
+        t_train = time.time()
         if device_data is not None:
             ts = agent.train_device_data(
                 model, opt_d, opt_g, ts, device_data,
@@ -229,6 +239,8 @@ def run_experiment(
             return ts
         host_ts = jax.device_get(ts)
         gstep = int(host_ts.step)
+        train_seconds += time.time() - t_train
+        train_steps += gstep - step_before
         # per-layer spectral norms (reference kernel_norm summaries)
         norms = model.Dis.kernel_norms(
             host_ts.params["dis"], host_ts.net_state["dis"])
@@ -257,5 +269,15 @@ def run_experiment(
                 "eval/fid_xx": scores[2],
                 "eval/fid_xg": scores[3],
             })
+    if train_steps > 0 and train_seconds > 0:
+        sps = train_steps / train_seconds
+        # driver-style machine-readable perf record: long quality runs
+        # double as throughput records (same schema as bench.py)
+        print(json.dumps({
+            "metric": f"train_steps_per_sec_{agent.filename}",
+            "value": round(sps, 2),
+            "unit": "steps/sec",
+            "vs_baseline": round(sps / baseline_sps, 3),
+        }), flush=True)
     print("Chunk of code finished.")
     return ts
