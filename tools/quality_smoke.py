@@ -51,15 +51,23 @@ def main():
     p.add_argument("--scan-k", type=int, default=16)
     p.add_argument("--eval-batches", type=int, default=16)
     p.add_argument("--out", default="/tmp/quality_smoke")
+    p.add_argument("--arch", default="cifar", choices=["cifar", "celeba"],
+                   help="cifar: 32x32 (my_test_cifar.py); celeba: the "
+                        "64x64 10-layer arch (my_test_celebA.py) — the "
+                        "conv-compute-bound regime")
     p.add_argument("--loss", default="rep")
     p.add_argument("--lr-dis", type=float, default=5e-4)
     p.add_argument("--lr-gen", type=float, default=2e-4)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="orbax checkpoint dir: resume from it at start if "
+                        "non-empty, save at each eval, and prove "
+                        "save->restore bitwise equality at the end")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from experiments.architectures import cifar_architecture
+    from experiments.architectures import celeba_architecture, cifar_architecture
     from mmdgan_tpu.metrics.fid import fid_from_activations
     from mmdgan_tpu.metrics.inception import RandomFeatureClassifier
     from mmdgan_tpu.models import SNGan
@@ -68,12 +76,27 @@ def main():
     from mmdgan_tpu.utils.sprite import write_sprite_wrapper
 
     os.makedirs(args.out, exist_ok=True)
-    model = SNGan(cifar_architecture(), num_class=0, loss_type=args.loss)
+    arch_fn, size = {"cifar": (cifar_architecture, 32),
+                     "celeba": (celeba_architecture, 64)}[args.arch]
+    model = SNGan(arch_fn(), num_class=0, loss_type=args.loss)
     opt_d, opt_g = multi_opt_config([args.lr_dis, args.lr_gen])
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
     step = jax.jit(build_multi_step(model, opt_d, opt_g, args.scan_k))
-    data = blob_batches(args.batch)
+    data = blob_batches(args.batch, size=size)
     clf = RandomFeatureClassifier(seed=0)
+
+    mgr = None
+    if args.ckpt_dir:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(
+            os.path.abspath(args.ckpt_dir),
+            options=ocp.CheckpointManagerOptions(max_to_keep=2, create=True))
+        if mgr.latest_step() is not None:
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, ts)
+            ts = mgr.restore(mgr.latest_step(),
+                             args=ocp.args.StandardRestore(abstract))
+            print(f"resumed from step {int(ts.step)}", flush=True)
 
     # held-out real activations
     real_pool = np.concatenate([
@@ -94,8 +117,10 @@ def main():
     print(f"step 0: random-feature FID = {fid0:.4f}", flush=True)
     write_sprite_wrapper(g[:64], (8, 8), "samples", args.out, "_step0")
 
-    done = 0
+    done = int(jax.device_get(ts.step))
     start = time.time()
+    start_step = done
+    fid = fid0
     while done < args.steps:
         host = [next(data) for _ in range(args.scan_k)]
         batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])), "y": None}
@@ -104,14 +129,47 @@ def main():
         if done % args.eval_every < args.scan_k:
             fid, g = eval_fid(ts)
             mm = {k: float(np.asarray(jax.device_get(v))[-1]) for k, v in m.items()}
-            speed = done / (time.time() - start)
+            speed = (done - start_step) / (time.time() - start)
             print(f"step {done}: FID = {fid:.4f} loss_gen={mm['loss_gen']:.4f} "
                   f"loss_dis={mm['loss_dis']:.4f} s_x={mm['s_x_mean']:.3f} "
                   f"s_g={mm['s_gen_mean']:.3f} "
                   f"({speed:.1f} steps/s incl. host data)", flush=True)
             write_sprite_wrapper(g[:64], (8, 8), "samples", args.out, f"_step{done}")
+            if mgr is not None:
+                import orbax.checkpoint as ocp
+
+                mgr.save(done, args=ocp.args.StandardSave(ts))
+                mgr.wait_until_finished()
     print(f"FID {fid0:.3f} -> {fid:.3f} "
           f"({'LEARNING' if fid < 0.5 * fid0 else 'check dynamics'})")
+
+    if mgr is not None:
+        # prove the final checkpoint is resumable: save, restore into a
+        # fresh abstract tree, assert bitwise equality of every leaf
+        import orbax.checkpoint as ocp
+
+        mgr.save(done, args=ocp.args.StandardSave(ts))
+        mgr.wait_until_finished()
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, ts)
+        restored = mgr.restore(done, args=ocp.args.StandardRestore(abstract))
+        host_a = jax.device_get(ts)
+        host_b = jax.device_get(restored)
+        mismatch = [
+            jax.tree_util.keystr(path)
+            for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(host_a),
+                jax.tree.leaves(host_b))
+            if not np.array_equal(np.asarray(a), np.asarray(b))
+        ]
+        assert not mismatch, f"restore mismatch at {mismatch[:5]}"
+        # one more fused call from the restored state must run clean
+        host = [next(data) for _ in range(args.scan_k)]
+        batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])), "y": None}
+        restored, m2 = step(restored, batches, t_flag, t_flag)
+        lg = float(np.asarray(jax.device_get(m2["loss_gen"]))[-1])
+        assert np.isfinite(lg)
+        print(f"checkpoint at step {done}: restore bitwise-equal, "
+              f"resumed step loss_gen={lg:.4f} — RESUMABLE", flush=True)
 
 
 if __name__ == "__main__":
