@@ -62,6 +62,18 @@ def main():
                    help="orbax checkpoint dir: resume from it at start if "
                         "non-empty, save at each eval, and prove "
                         "save->restore bitwise equality at the end")
+    p.add_argument("--device-dataset", type=int, default=0, metavar="N",
+                   help="pregenerate a FIXED N-image uint8 dataset, upload "
+                        "it to HBM once, and train via the on-device "
+                        "batch-gather path (build_device_data_step) — "
+                        "mirrors the reference's fixed-dataset protocol "
+                        "and removes the host data link (~50 steps/s host "
+                        "feed vs ~400 steps/s HBM-resident)")
+    p.add_argument("--device-dataset-dtype", default="uint8",
+                   choices=["uint8", "f32"],
+                   help="uint8 mirrors the real tfrecord path (quantized, "
+                        "device-decoded); f32 stores the raw continuous "
+                        "values (4x HBM, no quantization)")
     args = p.parse_args()
 
     import jax
@@ -81,9 +93,39 @@ def main():
     model = SNGan(arch_fn(), num_class=0, loss_type=args.loss)
     opt_d, opt_g = multi_opt_config([args.lr_dis, args.lr_gen])
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
-    step = jax.jit(build_multi_step(model, opt_d, opt_g, args.scan_k))
     data = blob_batches(args.batch, size=size)
     clf = RandomFeatureClassifier(seed=0)
+
+    data_x = None
+    if args.device_dataset:
+        from mmdgan_tpu.train.step import build_device_data_step
+
+        n = args.device_dataset
+        print(f"pregenerating fixed {n}-image dataset ...", flush=True)
+        chunks = []
+        got = 0
+        while got < n:
+            x = next(data)["x"]
+            if args.device_dataset_dtype == "uint8":
+                x = np.round((x + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+            chunks.append(x)
+            got += x.shape[0]
+        host_ds = np.concatenate(chunks)[:n]
+        data_x = jnp.asarray(host_ds)  # one-time upload to HBM
+        jax.block_until_ready(data_x)
+        print(f"uploaded {data_x.nbytes / 1e6:.0f} MB to HBM", flush=True)
+        step = jax.jit(build_device_data_step(
+            model, opt_d, opt_g, num_steps=args.scan_k,
+            batch_size=args.batch))
+        # the held-out "real" pool sees the same uint8 quantization the
+        # training path decodes on device
+        real_iter = iter(
+            (host_ds[i:i + args.batch].astype(np.float32) / 127.5 - 1.0
+             if host_ds.dtype == np.uint8 else host_ds[i:i + args.batch])
+            for i in range(0, n, args.batch))
+    else:
+        step = jax.jit(build_multi_step(model, opt_d, opt_g, args.scan_k))
+        real_iter = None
 
     mgr = None
     if args.ckpt_dir:
@@ -100,7 +142,8 @@ def main():
 
     # held-out real activations
     real_pool = np.concatenate([
-        clf(next(data)["x"])[1] for _ in range(args.eval_batches)])
+        clf(next(real_iter) if real_iter is not None else next(data)["x"])[1]
+        for _ in range(args.eval_batches)])
 
     def eval_fid(ts):
         host = jax.device_get(ts)
@@ -121,10 +164,15 @@ def main():
     start = time.time()
     start_step = done
     fid = fid0
+    rng_dev = jax.random.PRNGKey(start_step + 1)
     while done < args.steps:
-        host = [next(data) for _ in range(args.scan_k)]
-        batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])), "y": None}
-        ts, m = step(ts, batches, t_flag, t_flag)
+        if data_x is not None:
+            ts, rng_dev, m = step(ts, data_x, None, rng_dev, t_flag, t_flag)
+        else:
+            host = [next(data) for _ in range(args.scan_k)]
+            batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])),
+                       "y": None}
+            ts, m = step(ts, batches, t_flag, t_flag)
         done += args.scan_k
         if done % args.eval_every < args.scan_k:
             fid, g = eval_fid(ts)
@@ -163,9 +211,14 @@ def main():
         ]
         assert not mismatch, f"restore mismatch at {mismatch[:5]}"
         # one more fused call from the restored state must run clean
-        host = [next(data) for _ in range(args.scan_k)]
-        batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])), "y": None}
-        restored, m2 = step(restored, batches, t_flag, t_flag)
+        if data_x is not None:
+            restored, _, m2 = step(restored, data_x, None, rng_dev,
+                                   t_flag, t_flag)
+        else:
+            host = [next(data) for _ in range(args.scan_k)]
+            batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])),
+                       "y": None}
+            restored, m2 = step(restored, batches, t_flag, t_flag)
         lg = float(np.asarray(jax.device_get(m2["loss_gen"]))[-1])
         assert np.isfinite(lg)
         print(f"checkpoint at step {done}: restore bitwise-equal, "
