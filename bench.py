@@ -57,13 +57,14 @@ def _arch_and_img(name):
     }[name][0](), {"cifar": 32, "stl": 48, "celeba": 64, "lsun": 64}[name]
 
 
-def bench_arch(name, dp):
+def bench_arch(name, dp, bf16_moments=False):
     """Synthetic-feed throughput for one architecture; returns the metric
     dict. Timings force a host fetch of final metric values —
     block_until_ready alone under-reports on tunneled backends."""
     arch, img = _arch_and_img(name)
     model = SNGan(arch, num_class=0, loss_type="rep")
-    opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
+    opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam",
+                                    bf16_moments=bf16_moments)
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
     from mmdgan_tpu.train.step import build_multi_step
 
@@ -151,19 +152,23 @@ def main():
                     choices=["all", "cifar", "stl", "celeba", "lsun"])
     ap.add_argument("--skip-hbm", action="store_true",
                     help="skip the HBM-resident dataset metric in --arch all")
+    ap.add_argument("--bf16-moments", action="store_true",
+                    help="bench with bfloat16 optimizer slots (the "
+                         "--bf16-moments training flag); default off = "
+                         "strict TF1-parity mode")
     args = ap.parse_args()
 
     dp = DataParallel()
     if args.arch != "all":
-        print(json.dumps(bench_arch(args.arch, dp)), flush=True)
+        print(json.dumps(bench_arch(args.arch, dp, args.bf16_moments)), flush=True)
         return
 
-    flagship = bench_arch("cifar", dp)
+    flagship = bench_arch("cifar", dp, args.bf16_moments)
     print(json.dumps(flagship), flush=True)
     if not args.skip_hbm:
         print(json.dumps(bench_hbm_dataset(dp)), flush=True)
     for name in ("stl", "celeba", "lsun"):
-        print(json.dumps(bench_arch(name, dp)), flush=True)
+        print(json.dumps(bench_arch(name, dp, args.bf16_moments)), flush=True)
     # repeat the flagship LAST for last-line parsers
     print(json.dumps(flagship), flush=True)
 
