@@ -43,11 +43,24 @@ def np_to_tfrecords(
     assert x.dtype == np.uint8, "reference format stores raw uint8 bytes"
     shard_bounds = np.linspace(0, n, num_shards + 1).astype(int)
     paths = []
+    native_writer = None
+    try:
+        from mmdgan_tpu.data.native import NativeWriter as native_writer
+    except Exception:
+        pass  # toolchain unavailable -> pure-Python writer
     for s in range(num_shards):
         path = f"{out_path}.tfrecords" if num_shards == 1 else f"{out_path}_{s}.tfrecords"
         paths.append(path)
+        lo, hi = shard_bounds[s], shard_bounds[s + 1]
+        if native_writer is not None:
+            # bulk C++ path (byte-identical to the Python writer)
+            with native_writer(path) as w:
+                w.write_batch(
+                    x[lo:hi].reshape(hi - lo, -1),
+                    None if y is None else np.asarray(y[lo:hi], np.int64))
+            continue
         with TFRecordWriter(path) as w:
-            for i in range(shard_bounds[s], shard_bounds[s + 1]):
+            for i in range(lo, hi):
                 feats = {"x": x[i].tobytes()}
                 if y is not None:
                     feats["y"] = np.asarray([int(y[i])], np.int64)

@@ -65,6 +65,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
         ]
+        lib.tfrec_writer_open.restype = ctypes.c_void_p
+        lib.tfrec_writer_open.argtypes = [ctypes.c_char_p]
+        lib.tfrec_write_batch.restype = ctypes.c_int64
+        lib.tfrec_write_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tfrec_writer_close.restype = ctypes.c_int
+        lib.tfrec_writer_close.argtypes = [ctypes.c_void_p]
         lib.tfrec_crc32c.restype = ctypes.c_uint32
         lib.tfrec_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.tfrec_masked_crc32c.restype = ctypes.c_uint32
@@ -179,6 +191,57 @@ class NativeRecordIterator:
                     return
             finally:
                 reader.close()
+
+
+class NativeWriter:
+    """Bulk writer: n examples per C call, byte-identical to the Python
+    ``TFRecordWriter.write_example({'x': ..., 'y': [...]})`` encoding
+    (cross-checked in tests against both the Python writer and
+    TensorFlow's reader)."""
+
+    def __init__(self, path: str):
+        self.lib = get_lib()
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.handle = self.lib.tfrec_writer_open(path.encode())
+        if not self.handle:
+            raise IOError(f"tfrec_writer_open failed for {path}")
+        self.path = path
+
+    def write_batch(self, x: np.ndarray, y: Optional[np.ndarray] = None):
+        """x: [n, bytes_per_record] uint8 (each row one image's raw
+        bytes); y: optional [n] int64 labels."""
+        x = np.ascontiguousarray(x, np.uint8)
+        assert x.ndim == 2, "x must be [n, bytes_per_record]"
+        y_ptr = None
+        if y is not None:
+            y = np.ascontiguousarray(y, np.int64).ravel()
+            assert len(y) == len(x)
+            y_ptr = y.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        n = self.lib.tfrec_write_batch(
+            self.handle,
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            x.shape[1], x.shape[0], y_ptr)
+        if n != len(x):
+            raise IOError(f"native tfrecord write error in {self.path}")
+
+    def close(self):
+        if self.handle:
+            rc = self.lib.tfrec_writer_close(self.handle)
+            self.handle = None
+            if rc != 0:
+                raise IOError(f"close failed for {self.path}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def crc32c_native(data: bytes) -> int:

@@ -250,6 +250,58 @@ struct Reader {
   std::string error;
 };
 
+// ---------------------------------------------------------------------
+// writer: mirror of the Python TFRecordWriter/make_example encoding
+// (data/tfrecord.py:107-279) — byte-identical output, feature order
+// 'x' then 'y', Int64List packed varints.
+// ---------------------------------------------------------------------
+struct Writer {
+  FILE* f = nullptr;
+  std::vector<uint8_t> rec;
+};
+
+void put_varint(std::vector<uint8_t>& out, uint64_t v) {
+  while (v >= 0x80) {
+    out.push_back(uint8_t(v) | 0x80);
+    v >>= 7;
+  }
+  out.push_back(uint8_t(v));
+}
+
+void put_len_delim(std::vector<uint8_t>& out, uint32_t field,
+                   const uint8_t* p, size_t n) {
+  put_varint(out, (field << 3) | 2);
+  put_varint(out, n);
+  if (n) out.insert(out.end(), p, p + n);
+}
+
+void build_example(std::vector<uint8_t>& rec, const uint8_t* x, size_t xlen,
+                   const int64_t* y) {
+  std::vector<uint8_t> bl, feat, entry, feats;
+  // Feature 'x': Feature.bytes_list(1) > BytesList.value(1)
+  put_len_delim(bl, 1, x, xlen);
+  put_len_delim(feat, 1, bl.data(), bl.size());
+  const uint8_t kx = 'x';
+  put_len_delim(entry, 1, &kx, 1);
+  put_len_delim(entry, 2, feat.data(), feat.size());
+  put_len_delim(feats, 1, entry.data(), entry.size());
+  if (y) {
+    // Feature 'y': Feature.int64_list(3) > Int64List.value(1) packed
+    std::vector<uint8_t> body, il, feat_y, entry_y;
+    put_varint(body, uint64_t(*y));
+    put_varint(il, (1u << 3) | 2);
+    put_varint(il, body.size());
+    il.insert(il.end(), body.begin(), body.end());
+    put_len_delim(feat_y, 3, il.data(), il.size());
+    const uint8_t ky = 'y';
+    put_len_delim(entry_y, 1, &ky, 1);
+    put_len_delim(entry_y, 2, feat_y.data(), feat_y.size());
+    put_len_delim(feats, 1, entry_y.data(), entry_y.size());
+  }
+  rec.clear();
+  put_len_delim(rec, 1, feats.data(), feats.size());
+}
+
 }  // namespace
 
 extern "C" {
@@ -315,6 +367,55 @@ int tfrec_read_batch(void* handle, uint8_t* x_buf, int64_t x_capacity,
     count++;
   }
   return count;
+}
+
+// ---------------------------------------------------------------------
+// bulk writer
+// ---------------------------------------------------------------------
+
+void* tfrec_writer_open(const char* path) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return nullptr;
+  setvbuf(f, nullptr, _IOFBF, 1 << 20);
+  Writer* w = new Writer();
+  w->f = f;
+  return w;
+}
+
+// Write n examples; example i gets feature 'x' = x + i*bytes_per_record
+// (bytes_per_record raw uint8 bytes) and, if y != nullptr, 'y' = y[i].
+// Returns n on success, -1 on IO error.
+int64_t tfrec_write_batch(void* handle, const uint8_t* x,
+                          int64_t bytes_per_record, int64_t n,
+                          const int64_t* y) {
+  Writer* w = static_cast<Writer*>(handle);
+  if (!w || !w->f) return -1;
+  for (int64_t i = 0; i < n; i++) {
+    build_example(w->rec, x + i * bytes_per_record, size_t(bytes_per_record),
+                  y ? &y[i] : nullptr);
+    uint8_t header[8];
+    uint64_t len = w->rec.size();
+    memcpy(header, &len, 8);
+    uint32_t crc_h = masked_crc32c(header, 8);
+    uint32_t crc_p = masked_crc32c(w->rec.data(), w->rec.size());
+    if (fwrite(header, 1, 8, w->f) != 8) return -1;
+    if (fwrite(&crc_h, 1, 4, w->f) != 4) return -1;
+    if (w->rec.size() &&
+        fwrite(w->rec.data(), 1, w->rec.size(), w->f) != w->rec.size())
+      return -1;
+    if (fwrite(&crc_p, 1, 4, w->f) != 4) return -1;
+  }
+  return n;
+}
+
+// Returns 0 on clean close, -1 on flush/close error.
+int tfrec_writer_close(void* handle) {
+  Writer* w = static_cast<Writer*>(handle);
+  if (!w) return -1;
+  int rc = 0;
+  if (w->f && fclose(w->f) != 0) rc = -1;
+  delete w;
+  return rc;
 }
 
 // Convenience: crc32c of a buffer (used by tests).
