@@ -20,7 +20,6 @@ Run on the TPU backend; CPU works but profiles the wrong thing.
 
 import argparse
 import glob
-import io
 import os
 import sys
 import tempfile
@@ -73,17 +72,30 @@ def collect_trace(arch, loss, batch, scan_k, calls):
 
 
 def op_table(xplane_path):
-    """Rows of (op_name, source_info, self_us, occurrences) from the
-    framework_op_stats csv."""
-    import csv
+    """Parse the hlo_stats gviz DataTable into dict rows (keys = column
+    ids: category, hlo_op_name, tf_op_name, occurrences,
+    total_self_time, source_info, bound_by, ...)."""
+    import json
 
     from xprof.convert import raw_to_tool_data
 
     data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplane_path], "framework_op_stats", {"tqx": "out:csv;"})
+        [xplane_path], "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    rows = list(csv.DictReader(io.StringIO(data)))
+    obj = json.loads(data)
+    if isinstance(obj, list):
+        obj = obj[0]
+    import re
+
+    ids = [c["id"] for c in obj["cols"]]
+    rows = []
+    for r in obj["rows"]:
+        cells = [cell.get("v") if cell else None for cell in r["c"]]
+        row = dict(zip(ids, cells))
+        if row.get("source_info"):  # rendered as an HTML cell; strip tags
+            row["source_info"] = re.sub(r"<[^>]*>", "", str(row["source_info"]))
+        rows.append(row)
     return rows
 
 
@@ -109,48 +121,47 @@ def main():
         print("no op rows parsed — inspect", xplane)
         return
 
-    def f(row, *names, default=0.0):
-        for n in names:
-            if n in row and row[n] not in ("", None):
-                try:
-                    return float(row[n])
-                except ValueError:
-                    pass
-        return default
+    def f(row, name, default=0.0):
+        v = row.get(name)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return default
 
-    # column names vary across xprof versions; probe the common ones
-    key_time = None
-    for cand in ("total_self_time_in_us", "self_time_in_us", "Total self-time (us)"):
-        if cand in rows[0]:
-            key_time = cand
-            break
-    if key_time is None:
-        print("available columns:", sorted(rows[0]))
-        raise SystemExit("unknown framework_op_stats schema")
-    device_rows = [r for r in rows
-                   if r.get("host_or_device", "Device").lower() != "host"]
-    total = sum(f(r, key_time) for r in device_rows) or 1.0
+    total = sum(f(r, "total_self_time") for r in rows) or 1.0
+    steps = args.calls * args.scan_k
 
-    print(f"\n## Top {args.top} device ops by self-time "
-          f"(total {total/1e3:.1f} ms over {args.calls*args.scan_k} steps)\n")
-    print("| % | self ms | occurrences | op | source |")
-    print("|---|---------|-------------|----|--------|")
-    for r in sorted(device_rows, key=lambda r: -f(r, key_time))[:args.top]:
-        name = (r.get("operation") or r.get("op_name") or "?")[:60]
-        src = (r.get("source_info") or r.get("Source Info") or "")[-50:]
-        occ = int(f(r, "occurrences", "Occurrences", default=0))
-        print(f"| {100*f(r, key_time)/total:5.1f} | "
-              f"{f(r, key_time)/1e3:8.2f} | {occ:5d} | {name} | {src} |")
+    print(f"\n## Top {args.top} HLO ops by self-time "
+          f"(device total {total/1e3:.1f} ms over {steps} steps = "
+          f"{total/steps/1e3:.2f} ms/step)\n")
+    print("| % | self ms | occ | category | framework op | bound by | source |")
+    print("|---|---------|-----|----------|--------------|----------|--------|")
+    for r in sorted(rows, key=lambda r: -f(r, "total_self_time"))[:args.top]:
+        tf_op = (r.get("tf_op_name") or "?").split("/")[-1][:45]
+        src = (r.get("source_info") or "")[-40:]
+        print(f"| {100*f(r, 'total_self_time')/total:5.1f} | "
+              f"{f(r, 'total_self_time')/1e3:8.2f} | "
+              f"{int(f(r, 'occurrences')):4d} | "
+              f"{(r.get('category') or '?')[:22]} | {tf_op} | "
+              f"{(r.get('bound_by') or '')[:10]} | {src} |")
 
     by_src = {}
-    for r in device_rows:
+    for r in rows:
         src = (r.get("source_info") or "").strip() or "(no source)"
-        by_src[src] = by_src.get(src, 0.0) + f(r, key_time)
+        by_src[src] = by_src.get(src, 0.0) + f(r, "total_self_time")
     print(f"\n## Aggregated by source line (top {args.top})\n")
     print("| % | self ms | source line |")
     print("|---|---------|-------------|")
     for src, us in sorted(by_src.items(), key=lambda kv: -kv[1])[:args.top]:
         print(f"| {100*us/total:5.1f} | {us/1e3:8.2f} | {src[-70:]} |")
+
+    by_cat = {}
+    for r in rows:
+        cat = r.get("category") or "?"
+        by_cat[cat] = by_cat.get(cat, 0.0) + f(r, "total_self_time")
+    print("\n## By HLO category\n")
+    for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"  {100*us/total:5.1f}%  {us/1e3:8.2f} ms  {cat}")
     print(f"\nxplane: {xplane}")
 
 
