@@ -10,9 +10,27 @@ from __future__ import annotations
 import numpy as np
 
 
-def cifar_architecture(act_k: float = float(np.power(64.0, 0.125)), w_nm: str = "s"):
+def cifar_architecture(act_k: float = float(np.power(64.0, 0.125)), w_nm: str = "s",
+                       conditional: bool = False):
     """my_test_cifar.py:12-38 — 32x32, code 128, DCGAN G (dense ->
-    3x tc k4 s2 bn relu -> conv tanh), 8-layer SN-lrelu D, d=16 scores."""
+    3x tc k4 s2 bn relu -> conv tanh), 8-layer SN-lrelu D, d=16 scores.
+
+    ``conditional=True`` turns it into the class-conditional variant the
+    reference builds for labeled data (my_sngan.py num_class>=2 path):
+    generator batch norms become conditional (cbn, layer_func.py:914-963)
+    and the d=16 score head becomes a conditionally-scaled dense
+    ('dck' — dense * (1 + per-class scale), layer_func.py:679-690; the
+    scalar-output 'project' head does not apply to vector MMD scores)."""
+    arch = _cifar_arch(act_k, w_nm)
+    if conditional:
+        for layer in arch["generator"]:
+            if layer.get("act_nm") == "bn":
+                layer["act_nm"] = "cbn"
+        arch["discriminator"][-1]["op"] = "dck"
+    return arch
+
+
+def _cifar_arch(act_k, w_nm):
     return {
         "input": [(3, 32, 32)],
         "code": [(128, "linear")],

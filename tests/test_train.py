@@ -458,3 +458,40 @@ def test_device_data_imbalanced_dynamic(key):
     assert int(jax.device_get(ts.step)) == 8
     assert np.isfinite(float(np.asarray(m["loss_gen"])[-1]))
     assert float(avg) != 0.0  # EMA carried
+
+
+def test_conditional_cifar_architecture_trains(rng, key):
+    """The class-conditional CIFAR variant (cbn generator + dck score
+    head, experiments/architectures.py conditional=True) builds and runs
+    a same-class fused device-data step — the config driven by
+    quality_smoke --num-class."""
+    from experiments.architectures import cifar_architecture
+    from mmdgan_tpu.train.step import build_device_data_step, same_class_tables
+
+    arch = cifar_architecture(conditional=True)
+    assert arch["discriminator"][-1]["op"] == "dck"
+    assert any(l.get("act_nm") == "cbn" for l in arch["generator"])
+    model = SNGan(arch, num_class=4, loss_type="rmb")
+    model.sample_same_class = True
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    n = 32
+    y = np.arange(n) % 4
+    table, counts = same_class_tables(y, 4)
+    fn = jax.jit(build_device_data_step(
+        model, opt_d, opt_g, num_steps=2, batch_size=8,
+        same_class=True, class_table=table, class_counts=counts))
+    data_x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (n, 32, 32, 3), np.uint8))
+    data_y = jnp.asarray(y.reshape(-1, 1).astype(np.int64))
+    r = jax.random.PRNGKey(1)
+    t = jnp.asarray(True)
+    ts, r, m = fn(ts, data_x, data_y, r, t, t)
+    assert int(jax.device_get(ts.step)) == 2
+    assert np.isfinite(float(np.asarray(m["loss_gen"])[-1]))
+    # conditional generation with explicit labels
+    host = jax.device_get(ts)
+    g = model.generate(host.params, host.net_state,
+                       rng=jax.random.PRNGKey(2),
+                       labels=np.asarray([0, 1, 2, 3]))
+    assert np.asarray(g).shape == (4, 32, 32, 3)

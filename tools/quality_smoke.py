@@ -22,13 +22,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def blob_batches(batch, size=32, seed=0, n_blobs=3):
+def blob_batches(batch, size=32, seed=0, n_blobs=3, num_class=0):
     """Structured synthetic images: colored blobs on smooth gradients
-    (vectorized over the batch)."""
+    (vectorized over the batch).
+
+    With ``num_class`` >= 2 each sample gets a class label and the class
+    deterministically sets the base-gradient color and the blob palette
+    center (fixed per-class directions, sampled once from a fixed seed) —
+    classes are visually distinct, so per-class FID can only drop if the
+    generator actually uses its conditioning."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    if num_class >= 2:
+        crng = np.random.RandomState(12345)
+        class_grad = (crng.rand(num_class, 3) * 0.6 - 0.3).astype(np.float32)
+        class_color = (crng.rand(num_class, 3) * 2 - 1).astype(np.float32)
     while True:
-        g = (rng.rand(batch, 3) * 0.6 - 0.3).astype(np.float32)
+        if num_class >= 2:
+            y = rng.randint(0, num_class, size=batch)
+            g = (class_grad[y]
+                 + (rng.rand(batch, 3) * 0.2 - 0.1)).astype(np.float32)
+        else:
+            y = None
+            g = (rng.rand(batch, 3) * 0.6 - 0.3).astype(np.float32)
         base = (xx[None] * g[:, 0, None, None]
                 + yy[None] * g[:, 1, None, None]
                 + g[:, 2, None, None])                       # [B, H, W]
@@ -36,11 +52,15 @@ def blob_batches(batch, size=32, seed=0, n_blobs=3):
         centers = rng.rand(batch, n_blobs, 2).astype(np.float32)
         sig = (0.05 + rng.rand(batch, n_blobs) * 0.1).astype(np.float32)
         colors = (rng.rand(batch, n_blobs, 3) * 2 - 1).astype(np.float32)
+        if num_class >= 2:
+            colors = (0.3 * colors + 0.7 * class_color[y][:, None, :]).astype(
+                np.float32)
         d2 = ((xx[None, None] - centers[..., 0, None, None]) ** 2
               + (yy[None, None] - centers[..., 1, None, None]) ** 2)
         blobs = np.exp(-d2 / (2 * sig[..., None, None] ** 2))  # [B, K, H, W]
         img = img + np.einsum("bkhw,bkc->bhwc", blobs, colors)
-        yield {"x": np.tanh(img).astype(np.float32), "y": None}
+        yield {"x": np.tanh(img).astype(np.float32),
+               "y": None if y is None else y.reshape(-1, 1).astype(np.int64)}
 
 
 def main():
@@ -74,6 +94,12 @@ def main():
                    help="uint8 mirrors the real tfrecord path (quantized, "
                         "device-decoded); f32 stores the raw continuous "
                         "values (4x HBM, no quantization)")
+    p.add_argument("--num-class", type=int, default=0,
+                   help=">=2: class-conditional run — cbn generator + "
+                        "projection discriminator, class-colored blobs, "
+                        "same-class batches (reference conditional path), "
+                        "reported metric is mean per-class (intra) FID. "
+                        "Requires --device-dataset and --arch cifar.")
     args = p.parse_args()
 
     import jax
@@ -88,35 +114,55 @@ def main():
     from mmdgan_tpu.utils.sprite import write_sprite_wrapper
 
     os.makedirs(args.out, exist_ok=True)
-    arch_fn, size = {"cifar": (cifar_architecture, 32),
-                     "celeba": (celeba_architecture, 64)}[args.arch]
-    model = SNGan(arch_fn(), num_class=0, loss_type=args.loss)
+    cond = args.num_class >= 2
+    if cond:
+        assert args.arch == "cifar" and args.device_dataset, (
+            "conditional mode needs --arch cifar and --device-dataset")
+        model = SNGan(cifar_architecture(conditional=True),
+                      num_class=args.num_class, loss_type=args.loss)
+        model.sample_same_class = True  # whole batch one class (reference)
+        size = 32
+    else:
+        arch_fn, size = {"cifar": (cifar_architecture, 32),
+                         "celeba": (celeba_architecture, 64)}[args.arch]
+        model = SNGan(arch_fn(), num_class=0, loss_type=args.loss)
     opt_d, opt_g = multi_opt_config([args.lr_dis, args.lr_gen])
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
-    data = blob_batches(args.batch, size=size)
+    data = blob_batches(args.batch, size=size, num_class=args.num_class)
     clf = RandomFeatureClassifier(seed=0)
 
-    data_x = None
+    data_x = data_y = None
+    host_y = None
     if args.device_dataset:
-        from mmdgan_tpu.train.step import build_device_data_step
+        from mmdgan_tpu.train.step import build_device_data_step, same_class_tables
 
         n = args.device_dataset
         print(f"pregenerating fixed {n}-image dataset ...", flush=True)
-        chunks = []
+        chunks, ychunks = [], []
         got = 0
         while got < n:
-            x = next(data)["x"]
+            b = next(data)
+            x = b["x"]
             if args.device_dataset_dtype == "uint8":
                 x = np.round((x + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
             chunks.append(x)
+            if b["y"] is not None:
+                ychunks.append(b["y"])
             got += x.shape[0]
         host_ds = np.concatenate(chunks)[:n]
         data_x = jnp.asarray(host_ds)  # one-time upload to HBM
         jax.block_until_ready(data_x)
         print(f"uploaded {data_x.nbytes / 1e6:.0f} MB to HBM", flush=True)
+        sc_kwargs = {}
+        if cond:
+            host_y = np.concatenate(ychunks)[:n]
+            data_y = jnp.asarray(host_y)
+            table, counts = same_class_tables(host_y, args.num_class)
+            sc_kwargs = dict(same_class=True, class_table=table,
+                             class_counts=counts)
         step = jax.jit(build_device_data_step(
             model, opt_d, opt_g, num_steps=args.scan_k,
-            batch_size=args.batch))
+            batch_size=args.batch, **sc_kwargs))
         # the held-out "real" pool sees the same uint8 quantization the
         # training path decodes on device
         real_iter = iter(
@@ -140,20 +186,51 @@ def main():
                              args=ocp.args.StandardRestore(abstract))
             print(f"resumed from step {int(ts.step)}", flush=True)
 
-    # held-out real activations
-    real_pool = np.concatenate([
-        clf(next(real_iter) if real_iter is not None else next(data)["x"])[1]
-        for _ in range(args.eval_batches)])
+    if cond:
+        # per-class held-out pools -> mean per-class (intra) FID: it only
+        # drops if the generator actually uses its class conditioning
+        per_class = max((args.eval_batches * args.batch) // args.num_class,
+                        args.batch)
+        real_pool_c = []
+        for c in range(args.num_class):
+            rows = np.where(host_y.reshape(-1) == c)[0][:per_class]
+            imgs = host_ds[rows]
+            if imgs.dtype == np.uint8:
+                imgs = imgs.astype(np.float32) / 127.5 - 1.0
+            real_pool_c.append(np.concatenate([
+                clf(imgs[i:i + args.batch])[1]
+                for i in range(0, len(imgs), args.batch)]))
 
-    def eval_fid(ts):
-        host = jax.device_get(ts)
-        pools = []
-        for i in range(args.eval_batches):
-            g = np.asarray(jax.device_get(model.generate(
-                host.params, host.net_state, rng=jax.random.PRNGKey(500 + i),
-                batch_size=args.batch)))
-            pools.append(clf(g)[1])
-        return fid_from_activations(real_pool, np.concatenate(pools)), g
+        def eval_fid(ts):
+            host = jax.device_get(ts)
+            fids = []
+            for c in range(args.num_class):
+                pools = []
+                for i in range(0, per_class, args.batch):
+                    bsz = min(args.batch, per_class - i)
+                    g = np.asarray(jax.device_get(model.generate(
+                        host.params, host.net_state,
+                        rng=jax.random.PRNGKey(500 + 97 * c + i),
+                        labels=np.full((bsz,), c, np.int64))))
+                    pools.append(clf(g)[1])
+                fids.append(fid_from_activations(
+                    real_pool_c[c], np.concatenate(pools)))
+            return float(np.mean(fids)), g
+    else:
+        # held-out real activations
+        real_pool = np.concatenate([
+            clf(next(real_iter) if real_iter is not None else next(data)["x"])[1]
+            for _ in range(args.eval_batches)])
+
+        def eval_fid(ts):
+            host = jax.device_get(ts)
+            pools = []
+            for i in range(args.eval_batches):
+                g = np.asarray(jax.device_get(model.generate(
+                    host.params, host.net_state, rng=jax.random.PRNGKey(500 + i),
+                    batch_size=args.batch)))
+                pools.append(clf(g)[1])
+            return fid_from_activations(real_pool, np.concatenate(pools)), g
 
     t_flag = jnp.asarray(True)
     fid0, g = eval_fid(ts)
@@ -167,7 +244,7 @@ def main():
     rng_dev = jax.random.PRNGKey(start_step + 1)
     while done < args.steps:
         if data_x is not None:
-            ts, rng_dev, m = step(ts, data_x, None, rng_dev, t_flag, t_flag)
+            ts, rng_dev, m = step(ts, data_x, data_y, rng_dev, t_flag, t_flag)
         else:
             host = [next(data) for _ in range(args.scan_k)]
             batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])),
@@ -212,7 +289,7 @@ def main():
         assert not mismatch, f"restore mismatch at {mismatch[:5]}"
         # one more fused call from the restored state must run clean
         if data_x is not None:
-            restored, _, m2 = step(restored, data_x, None, rng_dev,
+            restored, _, m2 = step(restored, data_x, data_y, rng_dev,
                                    t_flag, t_flag)
         else:
             host = [next(data) for _ in range(args.scan_k)]
