@@ -319,3 +319,29 @@ def test_prefetch_consumer_abandon_releases_producer():
     it = dp.prefetch(many(), size=2)
     next(it)
     it.close()
+
+
+def test_mesh_equality_conditional_dck():
+    """The conditionally-scaled dense score head ('dck' — what
+    cifar_architecture(conditional=True) uses) under a sharded batch:
+    per-class kernel scales gather by label on every shard."""
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.3, "in_reshape": [8 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "w_nm": "s",
+             "act_k": 1.0}],
+    }
+
+    def mk():
+        m = SNGan(arch, num_class=3, loss_type="rmb",
+                  compute_dtype=jnp.float32)
+        m.sample_same_class = True
+        return m
+
+    _assert_mesh_equal(mk, labels=3)
