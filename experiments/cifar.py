@@ -24,7 +24,9 @@ from experiments.runner import build_arg_parser, run_experiment
 def main():
     args = build_arg_parser("cifar").parse_args()
     act_k = args.act_k if args.act_k is not None else float(np.power(64.0, 0.125))
-    arch = cifar_architecture(act_k=act_k)
+    # labeled runs get the class-conditional variant (cbn generator +
+    # dck score head) the reference builds for num_class >= 2
+    arch = cifar_architecture(act_k=act_k, conditional=args.num_class >= 2)
     run_experiment(args, arch, "cifar", num_instance=50000, input_chw=(3, 32, 32))
 
 
