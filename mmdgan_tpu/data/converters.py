@@ -45,9 +45,15 @@ def np_to_tfrecords(
     paths = []
     native_writer = None
     try:
-        from mmdgan_tpu.data.native import NativeWriter as native_writer
+        # get_lib() triggers the lazy g++ build/dlopen NOW, so a missing
+        # toolchain disables the native path here instead of crashing the
+        # per-shard write below.
+        from mmdgan_tpu.data.native import NativeWriter, get_lib
+        get_lib()
+        native_writer = NativeWriter
     except Exception:
         pass  # toolchain unavailable -> pure-Python writer
+    row_bytes = int(np.prod(x.shape[1:]))
     for s in range(num_shards):
         path = f"{out_path}.tfrecords" if num_shards == 1 else f"{out_path}_{s}.tfrecords"
         paths.append(path)
@@ -56,7 +62,7 @@ def np_to_tfrecords(
             # bulk C++ path (byte-identical to the Python writer)
             with native_writer(path) as w:
                 w.write_batch(
-                    x[lo:hi].reshape(hi - lo, -1),
+                    x[lo:hi].reshape(hi - lo, row_bytes),
                     None if y is None else np.asarray(y[lo:hi], np.int64))
             continue
         with TFRecordWriter(path) as w:

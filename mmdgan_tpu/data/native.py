@@ -1,9 +1,10 @@
 """ctypes bindings for the native TFRecord reader (native/tfrec.cc).
 
 The shared library is built on first use with g++ (no pybind11 in the
-toolchain; plain C ABI + ctypes). Import raises ImportError if the
-library cannot be built/loaded — callers fall back to the pure-Python
-reader (mmdgan_tpu/data/tfrecord.py).
+toolchain; plain C ABI + ctypes). The build/dlopen happens lazily in
+``get_lib()`` — importing this module always succeeds; callers that want
+a fallback must call ``get_lib()`` eagerly and catch the failure, then
+fall back to the pure-Python codec (mmdgan_tpu/data/tfrecord.py).
 """
 
 from __future__ import annotations

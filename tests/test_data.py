@@ -222,12 +222,23 @@ def test_native_reader_matches_python(tmp_path):
     assert crc32c_native(data) == crc32c(data)
 
 
+def test_np_to_tfrecords_empty_shard(tmp_path):
+    """num_shards > n produces empty shards; they must write cleanly
+    (zero-record files) instead of crashing on reshape(0, -1)."""
+    x = np.random.RandomState(0).randint(0, 256, (3, 2, 4, 4), np.uint8)
+    paths = np_to_tfrecords(x, None, str(tmp_path / "e"), num_shards=5)
+    assert len(paths) == 5
+    total = sum(len(list(TFRecordReader(p).examples())) for p in paths)
+    assert total == 3
+
+
 def test_native_writer_byte_identical_and_tf_readable(tmp_path):
     """The C++ bulk writer produces BYTE-IDENTICAL files to the Python
     TFRecordWriter (same proto encoding, framing and crcs), and
     TensorFlow parses them."""
     try:
-        from mmdgan_tpu.data.native import NativeWriter
+        from mmdgan_tpu.data.native import NativeWriter, get_lib
+        get_lib()  # the build/dlopen is lazy; force it inside the guard
     except Exception as e:
         pytest.skip(f"native lib unavailable: {e}")
 

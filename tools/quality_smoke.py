@@ -96,7 +96,7 @@ def main():
                         "values (4x HBM, no quantization)")
     p.add_argument("--num-class", type=int, default=0,
                    help=">=2: class-conditional run — cbn generator + "
-                        "projection discriminator, class-colored blobs, "
+                        "dck score head, class-colored blobs, "
                         "same-class batches (reference conditional path), "
                         "reported metric is mean per-class (intra) FID. "
                         "Requires --device-dataset and --arch cifar.")
