@@ -37,6 +37,9 @@ from mmdgan_tpu.parallel import DataParallel
 BASELINES = {"cifar": 12.0, "stl": 12.0 * (32.0 / 48.0) ** 2,
              "celeba": 12.0 * (32.0 / 64.0) ** 2,
              "lsun": 12.0 * (32.0 / 64.0) ** 2}
+# vs_baseline provenance: the ratio is against an ESTIMATE, not a
+# measured TF1 run (the reference publishes no throughput numbers)
+BASELINE_NOTE = "assumed 12 steps/s TF1-GPU at 32x32, pixel-scaled (estimated, not measured)"
 
 BATCH = 64
 SCAN_K = 16     # steps fused per launch (lax.scan) — amortizes dispatch
@@ -88,13 +91,16 @@ def bench_arch(name, dp, bf16_moments=False):
         ts, m = step(ts, batches, t, t)
     final_loss = float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
     dur = time.perf_counter() - start
+    # health scalar: e_kxx -> 1 means the saturated-rep collapse mode —
+    # a numerics regression a pure-throughput line can't see
+    e_kxx = float(np.asarray(jax.device_get(m["e_kxx"]))[-1])
 
     steps_per_sec = n_calls * SCAN_K / dur
     n_chips = dp.num_devices
     per_chip = steps_per_sec / max(n_chips, 1) if n_chips > 1 else steps_per_sec
     print(
         f"[bench] {name}{img}: {steps_per_sec:.2f} steps/s total on "
-        f"{n_chips} chip(s); loss_gen={final_loss:.4f}",
+        f"{n_chips} chip(s); loss_gen={final_loss:.4f} e_kxx={e_kxx:.4f}",
         file=sys.stderr,
     )
     return {
@@ -103,6 +109,9 @@ def bench_arch(name, dp, bf16_moments=False):
         "value": round(per_chip, 3),
         "unit": "steps/sec",
         "vs_baseline": round(per_chip / BASELINES[name], 3),
+        "baseline": BASELINE_NOTE,
+        "loss_gen": round(final_loss, 4),
+        "e_kxx": round(e_kxx, 4),
     }
 
 
@@ -131,16 +140,20 @@ def bench_hbm_dataset(dp):
     start = time.perf_counter()
     for _ in range(n_calls):
         ts, rng, m = fn(ts, data, None, rng, t, t)
-    float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
+    final_loss = float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
     dur = time.perf_counter() - start
+    e_kxx = float(np.asarray(jax.device_get(m["e_kxx"]))[-1])
     steps_per_sec = n_calls * SCAN_K / dur
-    print(f"[bench] cifar32 hbm-dataset: {steps_per_sec:.2f} steps/s",
-          file=sys.stderr)
+    print(f"[bench] cifar32 hbm-dataset: {steps_per_sec:.2f} steps/s "
+          f"e_kxx={e_kxx:.4f}", file=sys.stderr)
     return {
         "metric": "cifar10_sngan_rep_b64_hbm_dataset_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / BASELINES["cifar"], 3),
+        "baseline": BASELINE_NOTE,
+        "loss_gen": round(final_loss, 4),
+        "e_kxx": round(e_kxx, 4),
     }
 
 

@@ -77,6 +77,13 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
                         "device (device decode moves 4x fewer bytes)")
     p.add_argument("--use-pallas", action="store_true",
                    help="fused Pallas MMD loss kernel (TPU)")
+    p.add_argument("--summary-histograms", action="store_true",
+                   help="emit hist/* distance/score histograms from "
+                        "inside the train step (measured ~6%% step cost "
+                        "on CIFAR; loss-internals scalars are always on)")
+    p.add_argument("--param-hist-step", type=int, default=0,
+                   help="write per-variable parameter histograms every N "
+                        "steps (host-side fetch; 0 = off)")
     return p
 
 
@@ -139,6 +146,7 @@ def run_experiment(
         imbalanced_update=imbalanced,
         print_loss=True,
         output_dir=cfg.output_dir,
+        param_hist_step=args.param_hist_step,
     )
 
     model = SNGan(
@@ -149,6 +157,7 @@ def run_experiment(
         rep_weights=rep_weights,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32,
         use_pallas=args.use_pallas,
+        summary_histograms=args.summary_histograms,
     )
     model.sample_same_class = args.sample_same_class
 

@@ -82,11 +82,22 @@ class SNGan:
         compute_dtype=jnp.bfloat16,
         use_pallas: bool = False,
         sigma: Optional[Sequence[float]] = None,
+        summary_histograms: bool = False,
         **kwargs,
     ):
         """:param architecture: dict with 'input' [(C, H, W)], 'code'
         [(code_size, act)], 'generator' and 'discriminator' layer lists —
-        the exact reference format (my_test_cifar.py:12-38)."""
+        the exact reference format (my_test_cifar.py:12-38).
+
+        ``do_summary`` (default on) surfaces the loss-internals scalars
+        (kernel means, Newton beta, coin state) and per-net grad norms in
+        the step metrics — measured free (<1%) since they reuse computed
+        values. ``summary_histograms`` additionally emits hist/* fixed-
+        bin distance/score histograms from inside the step — measured
+        ~6% step cost in the HBM-bound CIFAR regime (the bincount
+        scatter), so it is a separate opt-in, mirroring the reference
+        where histogram summary ops only executed on query-step fetches
+        (graph_func.py:860-866)."""
         self.architecture = architecture
         self.loss_type = loss_type
         self.optimizer = optimizer
@@ -108,6 +119,7 @@ class SNGan:
         self.sample_same_class = False
         self.loss_hp = GANLoss(
             repulsive_weights=self.rep_weights, use_pallas=use_pallas,
+            summary_histograms=summary_histograms,
             **({"sigma": tuple(sigma)} if sigma is not None else {}),
         )
         self.Gen: Optional[Routine] = None
@@ -414,16 +426,19 @@ class SNGan:
             dis_scale = self.mmd_gradient_scale(
                 params_dis, state, data_batch["x"], labels=data_batch.get("y"))
 
-        loss_gen, loss_dis, new_loss_state = self.loss_hp.apply(
+        loss_gen, loss_dis, new_loss_state, loss_aux = self.loss_hp.apply(
             s_gen, s_x, self.loss_type,
             batch_size=batch_size, d=self.score_size,
             dis_penalty=dis_penalty, dis_scale=dis_scale,
             rng=rng_loss, state=loss_state,
         )
+        # loss_aux: the reference's per-loss TB summaries (kernel means,
+        # Newton beta, coin state, penalty magnitudes, hist/* histograms)
         aux = {
             "s_x_mean": jnp.mean(s_x),
             "s_gen_mean": jnp.mean(s_gen),
             "x_gen_abs_mean": jnp.mean(jnp.abs(gen_out["x"])),
+            **loss_aux,
         }
         return loss_gen, loss_dis, dis_state, new_loss_state, aux
 

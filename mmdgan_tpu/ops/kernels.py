@@ -3,9 +3,12 @@ witness functions, closed-form MMD against a reference normal, and the
 adaptive-bandwidth (Newton root-finding) ``rand_*`` family.
 
 Functional JAX rebuild of ``GeneralTools/math_func.py:1027-1967``. Instead
-of TF summaries, functions return an ``aux`` dict of scalar diagnostics
-(kernel means etc.) alongside the loss where useful; callers thread these
-into the metric writer.
+of TF summaries, every kernel accepts ``with_aux=True`` and then returns a
+trailing dict of scalar diagnostics — the kernel means e_kxx/e_kxy/e_kyy
+(math_func.py:1329-1333), their bounded variants, and the Newton-solved
+bandwidth ``beta`` for the rand_* family. The values are reused from the
+loss computation, so requesting them adds no FLOPs; ``GANLoss.apply``
+threads them into the train-step metrics and the metric writer.
 
 Semantics preserved from the reference (cited per function):
 - off-diagonal means over kernel matrices (math_func.py:1048-1069);
@@ -58,6 +61,7 @@ def mmd_g(
     upper_bound: Optional[float] = None,
     lower_bound: Optional[float] = None,
     custom_weights: Optional[Sequence[float]] = None,
+    with_aux: bool = False,
 ):
     """Gaussian-kernel MMD (math_func.py:1288-1352).
 
@@ -65,6 +69,10 @@ def mmd_g(
     pair ``(mmd1, mmd2)`` = (generator loss, discriminator loss
     ``w0*e_kxy - e_kxx - w1*e_kyy``); note k_yy is the *real* data kernel.
     With ``var_target`` returns ``(mmd, loss_sigma)`` for trainable sigma.
+    With ``with_aux`` the tuple gains a trailing dict of the kernel-mean
+    diagnostics the reference writes as TB scalars
+    (math_func.py:1329-1333) — these reuse already-computed values, so
+    requesting them is free.
     """
     two_sigma2 = 2.0 * sigma ** 2
     if lower_bound is None:
@@ -82,17 +90,20 @@ def mmd_g(
     e_kxx = matrix_mean_wo_diagonal(k_xx, m)
     e_kxy = matrix_mean_wo_diagonal(k_xy, m)
     e_kyy = matrix_mean_wo_diagonal(k_yy, m)
+    aux = {"e_kxx": e_kxx, "e_kxy": e_kxy, "e_kyy": e_kyy}
 
     if var_target is None:
         if custom_weights is None:
-            return e_kxx + e_kyy - 2.0 * e_kxy
+            return (e_kxx + e_kyy - 2.0 * e_kxy, aux) if with_aux else (
+                e_kxx + e_kyy - 2.0 * e_kxy)
         assert custom_weights[0] - custom_weights[1] == 1.0, "w[0]-w[1] must be 1"
         mmd1 = e_kxx + e_kyy - 2.0 * e_kxy
         mmd2 = custom_weights[0] * e_kxy - e_kxx - custom_weights[1] * e_kyy
-        return mmd1, mmd2
+        return (mmd1, mmd2, aux) if with_aux else (mmd1, mmd2)
     mmd = e_kxx + e_kyy - 2.0 * e_kxy
     var = e_kxx + e_kyy + 2.0 * e_kxy
-    return mmd, jnp.square(var - var_target)
+    loss_sigma = jnp.square(var - var_target)
+    return (mmd, loss_sigma, aux) if with_aux else (mmd, loss_sigma)
 
 
 def mmd_g_bounded(
@@ -105,6 +116,7 @@ def mmd_g_bounded(
     upper_bound: float = 4.0,
     lower_bound: float = 0.25,
     custom_weights: Optional[Sequence[float]] = None,
+    with_aux: bool = False,
 ):
     """Repulsive loss with the saturation-avoiding bounded kernel ('rmb').
 
@@ -136,23 +148,39 @@ def mmd_g_bounded(
     e_kxx_b = matrix_mean_wo_diagonal(k_xx_b, m)
     e_kyy_b = matrix_mean_wo_diagonal(k_yy_b, m)
     e_kxy_b = matrix_mean_wo_diagonal(k_xy_b, m) if custom_weights[0] < 0 else e_kxy
+    aux = {"e_kxx": e_kxx, "e_kxy": e_kxy, "e_kyy": e_kyy,
+           "e_kxx_b": e_kxx_b, "e_kxy_b": e_kxy_b, "e_kyy_b": e_kyy_b}
 
     if var_target is None:
         assert custom_weights[0] - custom_weights[1] == 1.0, "w[0]-w[1] must be 1"
         mmd1 = e_kxx + e_kyy - 2.0 * e_kxy
         mmd2 = custom_weights[0] * e_kxy_b - e_kxx_b - custom_weights[1] * e_kyy_b
-        return mmd1, mmd2
+        return (mmd1, mmd2, aux) if with_aux else (mmd1, mmd2)
     mmd = e_kxx + e_kyy - 2.0 * e_kxy
     var = e_kxx + e_kyy + 2.0 * e_kxy
-    return mmd, jnp.square(var - var_target)
+    loss_sigma = jnp.square(var - var_target)
+    return (mmd, loss_sigma, aux) if with_aux else (mmd, loss_sigma)
 
 
 def mixture_mmd_g(
     dist_xx, dist_xy, dist_yy, batch_size, sigma: Sequence[float],
     var_targets: Optional[Sequence[float]] = None,
+    with_aux: bool = False,
 ):
-    """Sum of Gaussian-kernel MMDs over a sigma list (math_func.py:1435-1473)."""
+    """Sum of Gaussian-kernel MMDs over a sigma list (math_func.py:1435-1473).
+
+    ``with_aux`` returns ``(mmd, aux)`` with per-sigma kernel means keyed
+    ``sigma_{i}/e_k**`` — mirroring the reference's per-sigma name-scoped
+    TB scalars (math_func.py:1456 name scope around :1329-1333)."""
     if var_targets is None:
+        if with_aux:
+            total, aux = 0.0, {}
+            for i, s in enumerate(sigma):
+                m_i, a_i = mmd_g(
+                    dist_xx, dist_xy, dist_yy, batch_size, sigma=s, with_aux=True)
+                total = total + m_i
+                aux.update({f"sigma_{i}/{k}": v for k, v in a_i.items()})
+            return total, aux
         return sum(
             mmd_g(dist_xx, dist_xy, dist_yy, batch_size, sigma=s) for s in sigma
         )
@@ -170,6 +198,7 @@ def mixture_mmd_g(
 def mmd_t(
     dist_xx, dist_xy, dist_yy, batch_size, alpha: float = 1.0, beta: float = 2.0,
     var_target: Optional[float] = None,
+    with_aux: bool = False,
 ):
     """MMD with the inverse-multiquadratic (t-distribution) kernel.
 
@@ -185,19 +214,34 @@ def mmd_t(
     e_kxx = matrix_mean_wo_diagonal(k_xx, m)
     e_kxy = matrix_mean_wo_diagonal(k_xy, m)
     e_kyy = matrix_mean_wo_diagonal(k_yy, m)
+    aux = {"e_kxx": e_kxx, "e_kxy": e_kxy, "e_kyy": e_kyy}
     mmd = e_kxx + e_kyy - 2.0 * e_kxy
     if var_target is None:
-        return mmd
+        return (mmd, aux) if with_aux else mmd
     var = e_kxx + e_kyy + 2.0 * e_kxy
-    return mmd, jnp.square(var - var_target)
+    loss_alpha = jnp.square(var - var_target)
+    return (mmd, loss_alpha, aux) if with_aux else (mmd, loss_alpha)
 
 
 def mixture_mmd_t(
     dist_xx, dist_xy, dist_yy, batch_size, alpha: Sequence[float], beta: float = 2.0,
     var_targets: Optional[Sequence[float]] = None,
+    with_aux: bool = False,
 ):
-    """Sum of t-kernel MMDs over an alpha list (math_func.py:1145-1184)."""
+    """Sum of t-kernel MMDs over an alpha list (math_func.py:1145-1184).
+
+    ``with_aux`` returns ``(mmd, aux)`` with per-alpha kernel means keyed
+    ``alpha_{i}/e_k**`` (reference name-scoped scalars)."""
     if var_targets is None:
+        if with_aux:
+            total, aux = 0.0, {}
+            for i, a in enumerate(alpha):
+                m_i, a_i = mmd_t(
+                    dist_xx, dist_xy, dist_yy, batch_size, alpha=a, beta=beta,
+                    with_aux=True)
+                total = total + m_i
+                aux.update({f"alpha_{i}/{k}": v for k, v in a_i.items()})
+            return total, aux
         return sum(
             mmd_t(dist_xx, dist_xy, dist_yy, batch_size, alpha=a, beta=beta)
             for a in alpha
@@ -209,7 +253,8 @@ def mixture_mmd_t(
     return mmd, loss_alpha
 
 
-def cramer(dist_xx, dist_xy, dist_yy, batch_size, epsi: float = 1e-16):
+def cramer(dist_xx, dist_xy, dist_yy, batch_size, epsi: float = 1e-16,
+           with_aux: bool = False):
     """Energy distance without independent sample pairs (math_func.py:1249-1284)."""
     k_xx = -jnp.sqrt(dist_xx + epsi)
     k_xy = -jnp.sqrt(dist_xy + epsi)
@@ -218,7 +263,10 @@ def cramer(dist_xx, dist_xy, dist_yy, batch_size, epsi: float = 1e-16):
     e_kxx = matrix_mean_wo_diagonal(k_xx, m)
     e_kxy = matrix_mean_wo_diagonal(k_xy, m)
     e_kyy = matrix_mean_wo_diagonal(k_yy, m)
-    return e_kxx + e_kyy - 2.0 * e_kxy
+    mmd = e_kxx + e_kyy - 2.0 * e_kxy
+    if with_aux:
+        return mmd, {"e_kxx": e_kxx, "e_kxy": e_kxy, "e_kyy": e_kyy}
+    return mmd
 
 
 # ---------------------------------------------------------------------------
@@ -343,8 +391,13 @@ def _mean_maybe_wo_diag(k, batch_size):
 def rand_mmd_g_xy(
     dist_xx, dist_xy, dist_yy, batch_size: Optional[int] = None,
     dist_yx=None, omega: float = 0.5, max_iter: int = 3,
+    with_aux: bool = False,
 ):
-    """Adaptive-sigma Gaussian MMD (math_func.py:1667-1770)."""
+    """Adaptive-sigma Gaussian MMD (math_func.py:1667-1770).
+
+    ``with_aux`` returns ``(mmd, aux)`` with the Newton-solved bandwidth
+    ``beta`` and the kernel means (the reference writes beta as a TB
+    scalar, math_func.py:1764-1768)."""
     if dist_yx is None:
         def f_df(b):
             k = jnp.exp(-dist_xy * b)
@@ -367,17 +420,22 @@ def rand_mmd_g_xy(
     e_kxx = _mean_maybe_wo_diag(k_xx, batch_size)
     e_kxy = _mean_maybe_wo_diag(k_xy, batch_size)
     e_kyy = _mean_maybe_wo_diag(k_yy, batch_size)
+    aux = {"beta": beta, "e_kxx": e_kxx, "e_kxy": e_kxy, "e_kyy": e_kyy}
     if dist_yx is None:
-        return e_kxx + e_kyy - 2.0 * e_kxy
+        mmd = e_kxx + e_kyy - 2.0 * e_kxy
+        return (mmd, aux) if with_aux else mmd
     k_yx = jnp.exp(-dist_yx * beta)
     e_kyx = _mean_maybe_wo_diag(k_yx, batch_size)
-    return e_kxx + e_kyy - e_kxy - e_kyx
+    aux["e_kyx"] = e_kyx
+    mmd = e_kxx + e_kyy - e_kxy - e_kyx
+    return (mmd, aux) if with_aux else mmd
 
 
 def rand_mmd_g_xy_bounded(
     dist_xx, dist_xy, dist_yy, batch_size: Optional[int] = None,
     dist_yx=None, omega: float = 0.5, max_iter: int = 3,
     beta_lb: float = 0.125, beta_ub: float = 2.0,
+    with_aux: bool = False,
 ):
     """Adaptive-sigma MMD with clipped beta and bounded kernels ('rgb').
 
@@ -415,17 +473,23 @@ def rand_mmd_g_xy_bounded(
     e_kxx_b = _mean_maybe_wo_diag(k_xx_b, batch_size)
     e_kxy_b = _mean_maybe_wo_diag(k_xy_b, batch_size)
     e_kyy_b = _mean_maybe_wo_diag(k_yy_b, batch_size)
+    aux = {"beta": beta, "e_kxx": e_kxx, "e_kxy": e_kxy, "e_kyy": e_kyy,
+           "e_kxx_b": e_kxx_b, "e_kxy_b": e_kxy_b, "e_kyy_b": e_kyy_b}
 
     if dist_yx is None:
-        return e_kxx + e_kyy - 2.0 * e_kxy, e_kxx_b - 2.0 * e_kyy_b + e_kxy_b
+        out = (e_kxx + e_kyy - 2.0 * e_kxy, e_kxx_b - 2.0 * e_kyy_b + e_kxy_b)
+        return out + (aux,) if with_aux else out
     k_yx = jnp.exp(-dist_yx * beta)
     e_kyx = _mean_maybe_wo_diag(k_yx, batch_size)
-    return e_kxx + e_kyy - e_kxy - e_kyx
+    aux["e_kyx"] = e_kyx
+    mmd = e_kxx + e_kyy - e_kxy - e_kyx
+    return (mmd, aux) if with_aux else mmd
 
 
 def rand_mmd_g_xn(
     x: jnp.ndarray, y_rho: float, batch_size: int, d: int, y_mu: float = 0.0,
     dist_xx: Optional[jnp.ndarray] = None, omega: float = 0.5, max_iter: int = 0,
+    with_aux: bool = False,
 ):
     """Adaptive-sigma MMD between x and a reference normal
     (math_func.py:1900-1967); the x-vs-normal expectation has a closed form.
@@ -452,4 +516,7 @@ def rand_mmd_g_xn(
     e_kxx = matrix_mean_wo_diagonal(k_xx, float(batch_size))
     e_kxy = jnp.mean(k_xy)
     e_kyy = jnp.power(d / (d + 2.0 * beta * y_rho), d / 2.0)
-    return e_kxx + e_kyy - 2.0 * e_kxy
+    mmd = e_kxx + e_kyy - 2.0 * e_kxy
+    if with_aux:
+        return mmd, {"beta": beta, "e_kxx": e_kxx, "e_kxy": e_kxy, "e_kyy": e_kyy}
+    return mmd

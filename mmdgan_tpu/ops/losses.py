@@ -10,8 +10,14 @@ new_state, aux)``:
   non-trainable TF variables updated through UPDATE_OPS (moving loss
   averages, mixing probability, instance-noise sigma;
   math_func.py:1981-2035, 2061-2085, 2470-2498).
-- ``aux`` is a dict of scalar diagnostics (kernel means etc.) replacing TF
-  summaries.
+- ``aux`` is a dict of diagnostics replacing TF summaries: the kernel
+  means e_kxx/e_kxy/e_kyy for every MMD loss (math_func.py:1329-1333),
+  Newton-``beta`` for the rand_* family, the mix-coin / instance-noise
+  state scalars, penalty magnitudes, and (when
+  ``summary_histograms=True``) fixed-bin histograms of the pairwise
+  distances and scores (math_func.py:806-838) under ``hist/*`` keys.
+  ``GANLoss.apply`` returns it as the fourth element; the train step
+  forwards it into the step metrics and the ``MetricWriter``.
 
 Loss types supported (dispatch table mirrors math_func.py:2600-2651):
   logistic | hinge | wasserstein
@@ -46,6 +52,32 @@ from mmdgan_tpu.ops.kernels import (
 )
 
 Array = jnp.ndarray
+
+# Fixed-bin histogram metadata for the ``hist/*`` aux keys. Jit needs
+# static shapes, so (unlike TF's dynamic-bin summaries) bins are fixed:
+# pairwise score distances live in [0, ~16] for sigma~1 kernels (which
+# saturate beyond d~8 anyway); SN-discriminator scores in [-8, 8]. The
+# first/last bin absorb out-of-range mass (clipped), so nothing is lost
+# silently. The writer uses these ranges to reconstruct bin edges.
+HIST_NBINS = 64
+HIST_RANGES = {
+    "hist/d_xx": (0.0, 16.0),
+    "hist/d_xy": (0.0, 16.0),
+    "hist/d_yy": (0.0, 16.0),
+    "hist/score_gen": (-8.0, 8.0),
+    "hist/score_x": (-8.0, 8.0),
+}
+
+
+def fixed_bin_histogram(x: Array, lo: float, hi: float,
+                        nbins: int = HIST_NBINS) -> Array:
+    """Histogram with static bin count/range (jit- and scan-friendly
+    stand-in for the reference's TB histogram summaries,
+    math_func.py:806-838). Returns f32 counts [nbins]."""
+    idx = jnp.clip(
+        ((x.reshape(-1) - lo) * (nbins / (hi - lo))).astype(jnp.int32),
+        0, nbins - 1)
+    return jnp.bincount(idx, length=nbins).astype(jnp.float32)
 
 
 @jax.tree_util.register_dataclass
@@ -113,6 +145,10 @@ class GANLoss:
     mix_threshold: float = 0.2
     # use the fused Pallas kernel for rep/rmb on TPU
     use_pallas: bool = False
+    # include fixed-bin distance/score histograms under hist/* aux keys
+    # (math_func.py:806-838 distance summaries); scalar kernel means are
+    # always on — they reuse values the loss computes anyway
+    summary_histograms: bool = False
 
     # ----- simple adversarial losses -------------------------------------
     def _logistic(self, s_gen, s_x):
@@ -132,55 +168,77 @@ class GANLoss:
         return loss_gen, loss_dis
 
     # ----- mmd losses -----------------------------------------------------
-    def _dists(self, s_gen, s_x):
-        return get_squared_dist(s_gen, s_x, z_score=False, mode="xxxyyy")
+    def _stash_dist_hist(self, aux, d_gg, d_gd, d_dd):
+        # x = generated, y = real in the reference's kernel naming
+        if aux is not None and self.summary_histograms:
+            aux["hist/d_xx"] = fixed_bin_histogram(d_gg, *HIST_RANGES["hist/d_xx"])
+            aux["hist/d_xy"] = fixed_bin_histogram(d_gd, *HIST_RANGES["hist/d_xy"])
+            aux["hist/d_yy"] = fixed_bin_histogram(d_dd, *HIST_RANGES["hist/d_yy"])
 
-    def _mmd_g(self, s_gen, s_x, batch_size, dis_penalty):
-        d_gg, d_gd, d_dd = self._dists(s_gen, s_x)
-        loss_gen = mixture_mmd_g(d_gg, d_gd, d_dd, batch_size, sigma=self.sigma)
+    def _dists(self, s_gen, s_x, aux=None):
+        d_gg, d_gd, d_dd = get_squared_dist(s_gen, s_x, z_score=False, mode="xxxyyy")
+        self._stash_dist_hist(aux, d_gg, d_gd, d_dd)
+        return d_gg, d_gd, d_dd
+
+    def _mmd_g(self, s_gen, s_x, batch_size, dis_penalty, aux):
+        d_gg, d_gd, d_dd = self._dists(s_gen, s_x, aux)
+        loss_gen, k_aux = mixture_mmd_g(
+            d_gg, d_gd, d_dd, batch_size, sigma=self.sigma, with_aux=True)
+        aux.update(k_aux)
         loss_dis = -loss_gen
         if dis_penalty is not None:
             loss_dis = loss_dis + dis_penalty
         return loss_gen, loss_dis
 
-    def _mmd_g_bound(self, s_gen, s_x, batch_size, dis_penalty):
+    def _mmd_g_bound(self, s_gen, s_x, batch_size, dis_penalty, aux):
         # 'mgb' (math_func.py:2175-2193)
-        d_gg, d_gd, d_dd = self._dists(s_gen, s_x)
-        loss_gen = mmd_g(d_gg, d_gd, d_dd, batch_size, sigma=1.0)
-        mmd_b = mmd_g(d_gg, d_gd, d_dd, batch_size, sigma=1.0, upper_bound=4, lower_bound=0.25)
+        d_gg, d_gd, d_dd = self._dists(s_gen, s_x, aux)
+        loss_gen, k_aux = mmd_g(
+            d_gg, d_gd, d_dd, batch_size, sigma=1.0, with_aux=True)
+        mmd_b, b_aux = mmd_g(
+            d_gg, d_gd, d_dd, batch_size, sigma=1.0, upper_bound=4,
+            lower_bound=0.25, with_aux=True)
+        aux.update(k_aux)
+        aux.update({f"bounded/{k}": v for k, v in b_aux.items()})
         loss_dis = -mmd_b
         if dis_penalty is not None:
             loss_dis = loss_dis + dis_penalty
         return loss_gen, loss_dis
 
-    def _mmd_t(self, s_gen, s_x, batch_size, dis_penalty):
-        d_gg, d_gd, d_dd = self._dists(s_gen, s_x)
-        loss_gen = mixture_mmd_t(d_gg, d_gd, d_dd, batch_size, alpha=self.alpha, beta=self.beta)
+    def _mmd_t(self, s_gen, s_x, batch_size, dis_penalty, aux):
+        d_gg, d_gd, d_dd = self._dists(s_gen, s_x, aux)
+        loss_gen, k_aux = mixture_mmd_t(
+            d_gg, d_gd, d_dd, batch_size, alpha=self.alpha, beta=self.beta,
+            with_aux=True)
+        aux.update(k_aux)
         loss_dis = -loss_gen
         if dis_penalty is not None:
             loss_dis = loss_dis + dis_penalty
         return loss_gen, loss_dis
 
-    def _repulsive(self, s_gen, s_x, batch_size, dis_penalty, dis_scale):
+    def _repulsive(self, s_gen, s_x, batch_size, dis_penalty, dis_scale, aux):
         """'rep' — the paper's repulsive loss (math_func.py:2505-2528)."""
         if self.use_pallas:
+            # the fused kernel keeps only the loss pair on-chip; kernel
+            # means are not surfaced on this (default-off) path
             from mmdgan_tpu.ops.pallas_mmd import repulsive_mmd_g_pallas
             loss_gen, loss_dis = repulsive_mmd_g_pallas(
                 s_gen, s_x, sigma=1.0, repulsive_weights=tuple(self.repulsive_weights)
             )
         else:
-            d_gg, d_gd, d_dd = self._dists(s_gen, s_x)
-            loss_gen, loss_dis = mmd_g(
+            d_gg, d_gd, d_dd = self._dists(s_gen, s_x, aux)
+            loss_gen, loss_dis, k_aux = mmd_g(
                 d_gg, d_gd, d_dd, batch_size, sigma=1.0,
-                custom_weights=self.repulsive_weights,
+                custom_weights=self.repulsive_weights, with_aux=True,
             )
+            aux.update(k_aux)
         if dis_penalty is not None:
             loss_dis = loss_dis + dis_penalty
         if dis_scale is not None:
             loss_dis = (loss_dis - 1.0) * dis_scale
         return loss_gen, loss_dis
 
-    def _repulsive_bounded(self, s_gen, s_x, batch_size, dis_penalty, dis_scale):
+    def _repulsive_bounded(self, s_gen, s_x, batch_size, dis_penalty, dis_scale, aux):
         """'rmb' — repulsive + bounded rbf kernel (math_func.py:2530-2550)."""
         if self.use_pallas:
             from mmdgan_tpu.ops.pallas_mmd import repulsive_mmd_g_bounded_pallas
@@ -189,11 +247,12 @@ class GANLoss:
                 repulsive_weights=tuple(self.repulsive_weights),
             )
         else:
-            d_gg, d_gd, d_dd = self._dists(s_gen, s_x)
-            loss_gen, loss_dis = mmd_g_bounded(
+            d_gg, d_gd, d_dd = self._dists(s_gen, s_x, aux)
+            loss_gen, loss_dis, k_aux = mmd_g_bounded(
                 d_gg, d_gd, d_dd, batch_size, sigma=1.0, lower_bound=0.25, upper_bound=4.0,
-                custom_weights=self.repulsive_weights,
+                custom_weights=self.repulsive_weights, with_aux=True,
             )
+            aux.update(k_aux)
         if dis_penalty is not None:
             loss_dis = loss_dis + dis_penalty
         if dis_scale is not None:
@@ -201,20 +260,27 @@ class GANLoss:
         return loss_gen, loss_dis
 
     # ----- mix-coin losses ------------------------------------------------
-    def _mmd_g_mix(self, s_gen, s_x, batch_size, rng, state, single_sigma: bool):
+    def _mmd_g_mix(self, s_gen, s_x, batch_size, rng, state, single_sigma: bool, aux):
         # math_func.py:2195-2261
         pair_dist = get_squared_dist(jnp.concatenate([s_gen, s_x], axis=0))
         d_gg, d_gd, d_dd = slice_pairwise_distance(pair_dist, batch_size=batch_size)
+        self._stash_dist_hist(aux, d_gg, d_gd, d_dd)
         if single_sigma:
-            loss_gen = mmd_g(d_gg, d_gd, d_dd, batch_size, sigma=1.0)
+            loss_gen, k_aux = mmd_g(
+                d_gg, d_gd, d_dd, batch_size, sigma=1.0, with_aux=True)
         else:
-            loss_gen = mixture_mmd_g(d_gg, d_gd, d_dd, batch_size, sigma=self.sigma)
+            loss_gen, k_aux = mixture_mmd_g(
+                d_gg, d_gd, d_dd, batch_size, sigma=self.sigma, with_aux=True)
+        aux.update(k_aux)
         mix_indices, state = _get_mix_coin(rng, loss_gen, self.mix_threshold, batch_size, state)
         d_gg_m, d_gd_m, d_dd_m = slice_pairwise_distance(pair_dist, indices=mix_indices)
         if single_sigma:
-            loss_mix = mmd_g(d_gg_m, d_gd_m, d_dd_m, batch_size, sigma=1.0)
+            loss_mix, m_aux = mmd_g(
+                d_gg_m, d_gd_m, d_dd_m, batch_size, sigma=1.0, with_aux=True)
         else:
-            loss_mix = mixture_mmd_g(d_gg_m, d_gd_m, d_dd_m, batch_size, sigma=self.sigma)
+            loss_mix, m_aux = mixture_mmd_g(
+                d_gg_m, d_gd_m, d_dd_m, batch_size, sigma=self.sigma, with_aux=True)
+        aux.update({f"mix/{k}": v for k, v in m_aux.items()})
         return loss_gen, -loss_mix, state
 
     def _sample_omega(self, rng):
@@ -224,67 +290,88 @@ class GANLoss:
         lo, hi = self.omega_range
         return jax.random.uniform(rng, [], minval=lo, maxval=hi)
 
-    def _rand_g(self, s_gen, s_x, batch_size, d, rng):
+    def _rand_g(self, s_gen, s_x, batch_size, d, rng, aux):
         # math_func.py:2277-2307
-        d_gg, d_gd, d_dd = self._dists(s_gen, s_x)
+        d_gg, d_gd, d_dd = self._dists(s_gen, s_x, aux)
         omega = self._sample_omega(rng)
-        loss_gr = rand_mmd_g_xy(d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3)
-        loss_rn = rand_mmd_g_xn(
-            s_x, self.ref_normal, batch_size, d, dist_xx=d_dd, omega=omega, max_iter=3
-        )
+        loss_gr, gr_aux = rand_mmd_g_xy(
+            d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3, with_aux=True)
+        loss_rn, rn_aux = rand_mmd_g_xn(
+            s_x, self.ref_normal, batch_size, d, dist_xx=d_dd, omega=omega,
+            max_iter=3, with_aux=True)
+        aux["omega"] = omega
+        aux.update(gr_aux)
+        aux.update({f"rn/{k}": v for k, v in rn_aux.items()})
         return loss_gr, loss_rn - loss_gr
 
-    def _rand_g_bounded(self, s_gen, s_x, batch_size, rng):
+    def _rand_g_bounded(self, s_gen, s_x, batch_size, rng, aux):
         # 'rgb' (math_func.py:2309-2339)
-        d_gg, d_gd, d_dd = self._dists(s_gen, s_x)
+        d_gg, d_gd, d_dd = self._dists(s_gen, s_x, aux)
         omega = self._sample_omega(rng)
-        loss_gr, loss_gr_b = rand_mmd_g_xy_bounded(
-            d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3
+        loss_gr, loss_gr_b, k_aux = rand_mmd_g_xy_bounded(
+            d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3, with_aux=True
         )
+        aux["omega"] = omega
+        aux.update(k_aux)
         return loss_gr, -loss_gr_b
 
-    def _rand_g_mix(self, s_gen, s_x, batch_size, d, rng, state, symmetric: bool):
+    def _rand_g_mix(self, s_gen, s_x, batch_size, d, rng, state, symmetric: bool, aux):
         # math_func.py:2341-2432
         rng_omega, rng_coin = jax.random.split(rng)
         pair_dist = get_squared_dist(jnp.concatenate([s_gen, s_x], axis=0))
         d_gg, d_gd, d_dd = slice_pairwise_distance(pair_dist, batch_size=batch_size)
+        self._stash_dist_hist(aux, d_gg, d_gd, d_dd)
         omega = self._sample_omega(rng_omega)
-        loss_gr = rand_mmd_g_xy(d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3)
-        loss_gn = rand_mmd_g_xn(
-            s_gen, self.ref_normal, batch_size, d, dist_xx=d_gg, omega=omega, max_iter=3
-        )
-        loss_rn = rand_mmd_g_xn(
-            s_x, self.ref_normal, batch_size, d, dist_xx=d_dd, omega=omega, max_iter=3
-        )
+        loss_gr, gr_aux = rand_mmd_g_xy(
+            d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3, with_aux=True)
+        loss_gn, gn_aux = rand_mmd_g_xn(
+            s_gen, self.ref_normal, batch_size, d, dist_xx=d_gg, omega=omega,
+            max_iter=3, with_aux=True)
+        loss_rn, rn_aux = rand_mmd_g_xn(
+            s_x, self.ref_normal, batch_size, d, dist_xx=d_dd, omega=omega,
+            max_iter=3, with_aux=True)
         mix_indices, state = _get_mix_coin(rng_coin, loss_gr, self.mix_threshold, batch_size, state)
         d_gg_m, d_gd_m, d_dd_m = slice_pairwise_distance(pair_dist, indices=mix_indices)
-        loss_gr_mix = rand_mmd_g_xy(d_gg_m, d_gd_m, d_dd_m, batch_size, omega=omega, max_iter=3)
+        loss_gr_mix, mix_aux = rand_mmd_g_xy(
+            d_gg_m, d_gd_m, d_dd_m, batch_size, omega=omega, max_iter=3, with_aux=True)
+        aux["omega"] = omega
+        aux.update(gr_aux)
+        aux.update({f"gn/{k}": v for k, v in gn_aux.items()})
+        aux.update({f"rn/{k}": v for k, v in rn_aux.items()})
+        aux.update({f"mix/{k}": v for k, v in mix_aux.items()})
         if symmetric:  # 'sym_rg_mix' (math_func.py:2417-2419)
             return loss_gr + loss_gn, loss_rn - loss_gr_mix - loss_gn, state
         return loss_gr, loss_rn - loss_gr_mix, state
 
-    def _sym_rand_g(self, s_gen, s_x, batch_size, d, rng):
+    def _sym_rand_g(self, s_gen, s_x, batch_size, d, rng, aux):
         # 'sym_rg' (math_func.py:2434-2458)
         pair_dist = get_squared_dist(jnp.concatenate([s_gen, s_x], axis=0))
         d_gg, d_gd, d_dd = slice_pairwise_distance(pair_dist, batch_size=batch_size)
+        self._stash_dist_hist(aux, d_gg, d_gd, d_dd)
         omega = self._sample_omega(rng)
-        loss_gr = rand_mmd_g_xy(d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3)
-        loss_gn = rand_mmd_g_xn(
-            s_gen, self.ref_normal, batch_size, d, y_mu=-0.5, dist_xx=d_gg, omega=omega, max_iter=3
-        )
-        loss_rn = rand_mmd_g_xn(
-            s_x, self.ref_normal, batch_size, d, y_mu=0.5, dist_xx=d_dd, omega=omega, max_iter=3
-        )
+        loss_gr, gr_aux = rand_mmd_g_xy(
+            d_gg, d_gd, d_dd, batch_size, omega=omega, max_iter=3, with_aux=True)
+        loss_gn, gn_aux = rand_mmd_g_xn(
+            s_gen, self.ref_normal, batch_size, d, y_mu=-0.5, dist_xx=d_gg,
+            omega=omega, max_iter=3, with_aux=True)
+        loss_rn, rn_aux = rand_mmd_g_xn(
+            s_x, self.ref_normal, batch_size, d, y_mu=0.5, dist_xx=d_dd,
+            omega=omega, max_iter=3, with_aux=True)
+        aux["omega"] = omega
+        aux.update(gr_aux)
+        aux.update({f"gn/{k}": v for k, v in gn_aux.items()})
+        aux.update({f"rn/{k}": v for k, v in rn_aux.items()})
         return loss_gr, 0.5 * (loss_rn + loss_gn) - loss_gr
 
-    def _instance_noise(self, s_gen, s_x, batch_size, d, rng, state):
+    def _instance_noise(self, s_gen, s_x, batch_size, d, rng, state, aux):
         # math_func.py:2470-2498: add N(0, log(1+sigma)) noise to scores,
         # use rand_g, then update sigma by the moving mmd average.
         rng_g, rng_x, rng_loss = jax.random.split(rng, 3)
         stddev = jnp.log(state.ins_sigma + 1.0)
         s_gen = s_gen + stddev * jax.random.normal(rng_g, s_gen.shape)
         s_x = s_x + stddev * jax.random.normal(rng_x, s_x.shape)
-        loss_gen, loss_dis = self._rand_g(s_gen, s_x, batch_size, d, rng_loss)
+        loss_gen, loss_dis = self._rand_g(s_gen, s_x, batch_size, d, rng_loss, aux)
+        aux["ins_stddev"] = stddev
         new_avg = 0.99 * state.loss_average + 0.01 * loss_gen
         new_sigma = jnp.clip(
             state.ins_sigma + 0.001 * (state.loss_average - self.mix_threshold), 0.0, 1.7183
@@ -304,10 +391,15 @@ class GANLoss:
         dis_scale: Optional[Array] = None,
         rng: Optional[Array] = None,
         state: Optional[LossState] = None,
-    ) -> Tuple[Array, Array, LossState]:
+    ) -> Tuple[Array, Array, LossState, Dict[str, Array]]:
         """Dispatch to a loss (math_func.py:2556-2655).
 
-        Returns (loss_gen, loss_dis, new_state).
+        Returns (loss_gen, loss_dis, new_state, aux). ``aux`` carries the
+        per-loss diagnostics the reference wrote as TB summaries: kernel
+        means (e_kxx/e_kxy/e_kyy and bounded/per-sigma variants,
+        math_func.py:1329-1333), Newton-``beta``/``omega`` for rand_*
+        losses, coin/instance-noise state scalars, penalty magnitudes,
+        and ``hist/*`` fixed-bin histograms when ``summary_histograms``.
         """
         if state is None:
             state = LossState.init()
@@ -335,6 +427,8 @@ class GANLoss:
         if loss_type in {"rep_ds", "rmb_ds"}:
             assert dis_scale is not None, "Discriminator loss scale must be provided."
 
+        aux: Dict[str, Array] = {}
+        stateful = False
         if loss_type in {"logistic", ""}:
             lg, ld = self._logistic(score_gen, score_data)
         elif loss_type == "hinge":
@@ -342,46 +436,73 @@ class GANLoss:
         elif loss_type == "wasserstein":
             lg, ld = self._wasserstein(score_gen, score_data, dis_penalty)
         elif loss_type in {"fixed_g", "mmd_g"}:
-            lg, ld = self._mmd_g(score_gen, score_data, batch_size, dis_penalty)
+            lg, ld = self._mmd_g(score_gen, score_data, batch_size, dis_penalty, aux)
         elif loss_type == "mgb":
-            lg, ld = self._mmd_g_bound(score_gen, score_data, batch_size, dis_penalty)
+            lg, ld = self._mmd_g_bound(score_gen, score_data, batch_size, dis_penalty, aux)
         elif loss_type in {"fixed_t", "mmd_t"}:
-            lg, ld = self._mmd_t(score_gen, score_data, batch_size, dis_penalty)
+            lg, ld = self._mmd_t(score_gen, score_data, batch_size, dis_penalty, aux)
         elif loss_type == "cramer":
-            d_gg, d_gd, d_dd = self._dists(score_gen, score_data)
-            lg = cramer(d_gg, d_gd, d_dd, batch_size)
+            d_gg, d_gd, d_dd = self._dists(score_gen, score_data, aux)
+            lg, k_aux = cramer(d_gg, d_gd, d_dd, batch_size, with_aux=True)
+            aux.update(k_aux)
             ld = -lg if dis_penalty is None else -lg + dis_penalty
         elif loss_type in {"mmd_g_mix", "fixed_g_mix"}:
             lg, ld, state = self._mmd_g_mix(
-                score_gen, score_data, batch_size, rng, state, single_sigma=False)
+                score_gen, score_data, batch_size, rng, state, single_sigma=False,
+                aux=aux)
+            stateful = True
         elif loss_type == "sgm":
             lg, ld, state = self._mmd_g_mix(
-                score_gen, score_data, batch_size, rng, state, single_sigma=True)
+                score_gen, score_data, batch_size, rng, state, single_sigma=True,
+                aux=aux)
+            stateful = True
         elif loss_type == "rand_g":
-            lg, ld = self._rand_g(score_gen, score_data, batch_size, d, rng)
+            lg, ld = self._rand_g(score_gen, score_data, batch_size, d, rng, aux)
         elif loss_type == "rgb":
-            lg, ld = self._rand_g_bounded(score_gen, score_data, batch_size, rng)
+            lg, ld = self._rand_g_bounded(score_gen, score_data, batch_size, rng, aux)
         elif loss_type == "rand_g_mix":
             lg, ld, state = self._rand_g_mix(
-                score_gen, score_data, batch_size, d, rng, state, symmetric=False)
+                score_gen, score_data, batch_size, d, rng, state, symmetric=False,
+                aux=aux)
+            stateful = True
         elif loss_type == "sym_rg_mix":
             lg, ld, state = self._rand_g_mix(
-                score_gen, score_data, batch_size, d, rng, state, symmetric=True)
+                score_gen, score_data, batch_size, d, rng, state, symmetric=True,
+                aux=aux)
+            stateful = True
         elif loss_type in {"sym_rg", "sym_rand_g"}:
-            lg, ld = self._sym_rand_g(score_gen, score_data, batch_size, d, rng)
+            lg, ld = self._sym_rand_g(score_gen, score_data, batch_size, d, rng, aux)
         elif loss_type in {"instance_noise", "ins_noise"}:
-            lg, ld, state = self._instance_noise(score_gen, score_data, batch_size, d, rng, state)
+            lg, ld, state = self._instance_noise(
+                score_gen, score_data, batch_size, d, rng, state, aux)
+            stateful = True
         elif loss_type in {"rep", "rep_mmd_g", "rep_gp", "rep_ds"}:
-            lg, ld = self._repulsive(score_gen, score_data, batch_size, dis_penalty, dis_scale)
+            lg, ld = self._repulsive(
+                score_gen, score_data, batch_size, dis_penalty, dis_scale, aux)
         elif loss_type in {"rmb", "rep_b", "rep_mmd_b", "rmb_gp", "rmb_ds"}:
             lg, ld = self._repulsive_bounded(
-                score_gen, score_data, batch_size, dis_penalty, dis_scale)
+                score_gen, score_data, batch_size, dis_penalty, dis_scale, aux)
         elif loss_type == "test":
             lg, ld = jnp.zeros([]), jnp.zeros([])
         else:
             raise NotImplementedError(f"loss {loss_type} not implemented.")
 
-        return lg, ld, state
+        if stateful:
+            # surface the evolving loss state (the reference's 'coin' /
+            # 'ins_noise' variables, math_func.py:2074-2079, 2476-2478)
+            aux["state/loss_average"] = state.loss_average
+            aux["state/mix_prob"] = state.mix_prob
+            aux["state/ins_sigma"] = state.ins_sigma
+        if dis_penalty is not None:
+            aux["dis_penalty"] = jnp.asarray(dis_penalty)
+        if dis_scale is not None:
+            aux["dis_scale"] = jnp.asarray(dis_scale)
+        if self.summary_histograms:
+            aux["hist/score_gen"] = fixed_bin_histogram(
+                score_gen, *HIST_RANGES["hist/score_gen"])
+            aux["hist/score_x"] = fixed_bin_histogram(
+                score_data, *HIST_RANGES["hist/score_x"])
+        return lg, ld, state, aux
 
     def __call__(self, *args, **kwargs):
         return self.apply(*args, **kwargs)
@@ -392,7 +513,8 @@ def gan_loss(score_gen, score_data, loss_type="logistic", **kwargs):
 
     Hyper-parameter kwargs (sigma, alpha, beta, omega, ref_normal,
     rep_weights, mix_threshold) configure the bundle; the rest are passed
-    to :meth:`GANLoss.apply`.
+    to :meth:`GANLoss.apply`. Returns ``(loss_gen, loss_dis, new_state,
+    aux)`` like :meth:`GANLoss.apply`.
     """
     hp = {}
     if "sigma" in kwargs:
@@ -411,4 +533,6 @@ def gan_loss(score_gen, score_data, loss_type="logistic", **kwargs):
         hp["mix_threshold"] = kwargs.pop("mix_threshold")
     if "use_pallas" in kwargs:
         hp["use_pallas"] = kwargs.pop("use_pallas")
+    if "summary_histograms" in kwargs:
+        hp["summary_histograms"] = kwargs.pop("summary_histograms")
     return GANLoss(**hp).apply(score_gen, score_data, loss_type, **kwargs)

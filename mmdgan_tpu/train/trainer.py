@@ -42,6 +42,22 @@ from mmdgan_tpu.utils.summary import MetricWriter
 LOSS_DIVERGENCE_BOUND = 30000.0  # graph_func.py:962
 
 
+def split_host_metrics(metrics_host: Dict, take_last: bool):
+    """Split a ``device_get``'d step-metrics dict into (scalars, hists).
+
+    ``hist/*`` keys carry [nbins] fixed-bin counts ([K, nbins] when
+    scan-stacked — ``take_last`` picks the last step); everything else is
+    a scalar (or [K] stack)."""
+    scalars, hists = {}, {}
+    for k, v in metrics_host.items():
+        a = np.asarray(v)
+        if k.startswith("hist/"):
+            hists[k] = a[-1] if take_last else a
+        else:
+            scalars[k] = float(a[-1]) if take_last else float(a)
+    return scalars, hists
+
+
 class Agent:
     def __init__(
         self,
@@ -59,7 +75,14 @@ class Agent:
         output_dir: Optional[str] = None,
         use_tensorboard: bool = True,
         max_to_keep: int = 2,
+        param_hist_step: int = 0,
     ):
+        """``param_hist_step``: write per-variable parameter histograms
+        every N steps (the reference's tf.summary.histogram over all
+        variables, my_sngan.py:309-313). Default 0 = off: fetching the
+        full parameter tree through a tunneled host link costs ~0.1 s per
+        query, a real tax at 400+ steps/s; grad/param norms and the loss
+        internals remain always-on."""
         self.filename = filename
         self.sub_folder = sub_folder
         self.load_ckpt = load_ckpt
@@ -77,6 +100,37 @@ class Agent:
         self.writer = MetricWriter(self.summary_folder, use_tensorboard=use_tensorboard)
         self._ckpt_mgr = None
         self._max_to_keep = max_to_keep
+        self.param_hist_step = int(param_hist_step)
+
+    # ------------------------------------------------------------------
+    # summaries
+    # ------------------------------------------------------------------
+    def _write_query(self, gstep: int, scalars: Dict, hists: Dict,
+                     ts: Optional[TrainState] = None):
+        """Write one query-step's summaries: scalars, the step's hist/*
+        fixed-bin histograms, and (every ``param_hist_step``) per-variable
+        parameter histograms."""
+        from mmdgan_tpu.ops.losses import HIST_RANGES
+
+        self.writer.scalars(gstep, scalars)
+        for k, counts in hists.items():
+            lo, hi = HIST_RANGES.get(k, (0.0, 1.0))
+            self.writer.histogram(gstep, k, counts, lo, hi)
+        if (ts is not None and self.param_hist_step > 0
+                and gstep // self.param_hist_step
+                != (gstep - self.query_step) // self.param_hist_step):
+            self.write_param_histograms(ts, gstep)
+
+    def write_param_histograms(self, ts: TrainState, step: int):
+        """Per-variable parameter histograms (my_sngan.py:309-313),
+        computed host-side from the checkpointable state."""
+        from jax.tree_util import tree_flatten_with_path, keystr
+
+        leaves, _ = tree_flatten_with_path(ts.params)
+        for path, leaf in leaves:
+            tag = "params" + keystr(path).replace("'", "").replace(
+                "][", "/").replace("[", "/").replace("]", "")
+            self.writer.raw_histogram(step, tag, np.asarray(jax.device_get(leaf)))
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)
@@ -221,7 +275,8 @@ class Agent:
             )
             if sync_now:
                 for s, m in pending[-1:]:
-                    vals = {k: float(v) for k, v in jax.device_get(m).items()}
+                    vals, hists = split_host_metrics(
+                        jax.device_get(m), take_last=False)
                     loss_vals = [vals["loss_gen"], vals["loss_dis"]]
                     mmd_average = 0.99 * mmd_average + 0.01 * vals["loss_gen"]
                     if any(np.isnan(loss_vals)):
@@ -234,7 +289,7 @@ class Agent:
                         warnings.warn("Training stopped early as loss diverged.")
                         return ts
                     if (s % self.query_step == 0) or local_step == max_step - 1:
-                        self.writer.scalars(s, vals)
+                        self._write_query(s, vals, hists, ts)
                         if self.print_loss or force_print:
                             epoch = (s - 1) // max(step_per_epoch, 1)
                             speed = (local_step + 1) / (time.time() - start)
@@ -328,8 +383,8 @@ class Agent:
                 or gstep // self.nan_check_step != (gstep - k) // self.nan_check_step
                 or call == num_calls - 1
             ):
-                vals = {key: float(np.asarray(v)[-1]) for key, v in
-                        jax.device_get(metrics).items()}
+                vals, hists = split_host_metrics(
+                    jax.device_get(metrics), take_last=True)
                 loss_vals = [vals["loss_gen"], vals["loss_dis"]]
                 if any(np.isnan(loss_vals)):
                     self._abnormal_save(ts, gstep, vals)
@@ -340,7 +395,7 @@ class Agent:
                     warnings.warn("Training stopped early as loss diverged.")
                     return ts
                 if gstep % self.query_step < k or call == num_calls - 1:
-                    self.writer.scalars(gstep, vals)
+                    self._write_query(gstep, vals, hists, ts)
                     if self.print_loss or force_print:
                         epoch = (gstep - 1) // max(step_per_epoch, 1)
                         speed = (call + 1) * k / (time.time() - start)
@@ -459,8 +514,8 @@ class Agent:
                 or gstep // self.nan_check_step != (gstep - k) // self.nan_check_step
                 or call == num_calls - 1
             ):
-                vals = {key: float(np.asarray(v)[-1]) for key, v in
-                        jax.device_get(metrics).items()}
+                vals, hists = split_host_metrics(
+                    jax.device_get(metrics), take_last=True)
                 loss_vals = [vals["loss_gen"], vals["loss_dis"]]
                 if any(np.isnan(loss_vals)):
                     self._abnormal_save(ts, gstep, vals)
@@ -471,7 +526,7 @@ class Agent:
                     warnings.warn("Training stopped early as loss diverged.")
                     return ts
                 if gstep % self.query_step < k or call == num_calls - 1:
-                    self.writer.scalars(gstep, vals)
+                    self._write_query(gstep, vals, hists, ts)
                     if self.print_loss or force_print:
                         epoch = (gstep - 1) // max(step_per_epoch, 1)
                         speed = (call + 1) * k / (time.time() - start)

@@ -41,6 +41,44 @@ class MetricWriter:
             for k, v in values.items():
                 self._tb.add_scalar(k, float(v), int(step))
 
+    def histogram(self, step: int, tag: str, counts: np.ndarray,
+                  lo: float, hi: float):
+        """Write a precomputed fixed-bin histogram (counts over
+        ``nbins`` equal bins spanning [lo, hi]) — the JSONL record keeps
+        the raw counts + range; TensorBoard gets a reconstructed sample
+        at bin centers (first/last bin include clipped out-of-range
+        mass). Replaces the reference's tf.summary.histogram
+        (math_func.py:806-838, my_sngan.py:309-321)."""
+        counts = np.asarray(counts, np.float64).reshape(-1)
+        rec = {"step": int(step), "time": time.time(), "hist": tag,
+               "lo": float(lo), "hi": float(hi),
+               "counts": [int(c) for c in counts]}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            nbins = len(counts)
+            edges = np.linspace(lo, hi, nbins + 1)
+            centers = 0.5 * (edges[:-1] + edges[1:])
+            reps = np.repeat(centers, counts.astype(np.int64))
+            if reps.size:
+                self._tb.add_histogram(tag, reps, int(step))
+
+    def raw_histogram(self, step: int, tag: str, values: np.ndarray,
+                      nbins: int = 64):
+        """Histogram host-side raw values (e.g. parameter tensors at
+        query steps) with data-driven range."""
+        values = np.asarray(values, np.float64).reshape(-1)
+        if values.size == 0:
+            return
+        lo, hi = float(values.min()), float(values.max())
+        if hi <= lo:
+            hi = lo + 1e-12
+        counts, _ = np.histogram(values, bins=nbins, range=(lo, hi))
+        rec = {"step": int(step), "time": time.time(), "hist": tag,
+               "lo": lo, "hi": hi, "counts": [int(c) for c in counts]}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.add_histogram(tag, values, int(step))
+
     def images(self, step: int, tag: str, images: np.ndarray):
         """images: [N, H, W, C] in [-1, 1]."""
         arr = np.asarray(images)

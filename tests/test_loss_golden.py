@@ -39,7 +39,7 @@ def test_mgb_golden(rng):
     """'mgb' (math_func.py:2175-2193): gen = plain mmd_g(sigma=1); dis =
     -mmd with dxx/dyy lower-bounded 0.25 and dxy upper-bounded 4."""
     s_gen, s_x = scores(rng)
-    lg, ld, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
+    lg, ld, _, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
                          jnp.asarray(s_x, jnp.float32), "mgb", batch_size=B)
     dgg, dgx, dxx = np_pd(s_gen, s_gen), np_pd(s_gen, s_x), np_pd(s_x, s_x)
     np.testing.assert_allclose(float(lg), np_mmd_g(dgg, dgx, dxx, 1.0), rtol=1e-4)
@@ -50,7 +50,7 @@ def test_mgb_golden(rng):
 def test_mmd_g_dispatcher_golden(rng):
     """'mmd_g' uses the sigma mixture (math_func.py:2108, 2160-2173)."""
     s_gen, s_x = scores(rng)
-    lg, ld, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
+    lg, ld, _, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
                          jnp.asarray(s_x, jnp.float32), "mmd_g", batch_size=B)
     dgg, dgx, dxx = np_pd(s_gen, s_gen), np_pd(s_gen, s_x), np_pd(s_x, s_x)
     sigmas = [1.0, np.sqrt(2.0), 2.0, np.sqrt(8.0), 4.0]
@@ -62,7 +62,7 @@ def test_mmd_g_dispatcher_golden(rng):
 def test_mmd_t_dispatcher_golden(rng):
     """'mmd_t' alpha mixture (math_func.py:2110, 1087-1141)."""
     s_gen, s_x = scores(rng)
-    lg, ld, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
+    lg, ld, _, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
                          jnp.asarray(s_x, jnp.float32), "mmd_t", batch_size=B)
     dgg, dgx, dxx = np_pd(s_gen, s_gen), np_pd(s_gen, s_x), np_pd(s_x, s_x)
 
@@ -76,7 +76,7 @@ def test_mmd_t_dispatcher_golden(rng):
 
 def test_cramer_golden(rng):
     s_gen, s_x = scores(rng)
-    lg, ld, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
+    lg, ld, _, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
                          jnp.asarray(s_x, jnp.float32), "cramer", batch_size=B)
     dgg, dgx, dxx = np_pd(s_gen, s_gen), np_pd(s_gen, s_x), np_pd(s_x, s_x)
     k = lambda d: -np.sqrt(d + 1e-16)
@@ -92,7 +92,7 @@ def test_rand_g_pinned_omega_golden(rng):
     s_gen, s_x = scores(rng)
     omega = 0.4
     loss = GANLoss(omega_range=(omega, omega))
-    lg, ld, _ = loss.apply(jnp.asarray(s_gen, jnp.float32),
+    lg, ld, _, _ = loss.apply(jnp.asarray(s_gen, jnp.float32),
                            jnp.asarray(s_x, jnp.float32), "rand_g",
                            batch_size=B, d=D, rng=jax.random.PRNGKey(0))
     dgg, dgx, dxx = np_pd(s_gen, s_gen), np_pd(s_gen, s_x), np_pd(s_x, s_x)
@@ -114,7 +114,7 @@ def test_sym_rg_structure(rng, key):
     s_gen, s_x = scores(rng)
     omega = 0.3
     loss = GANLoss(omega_range=(omega, omega))
-    lg, ld, _ = loss.apply(jnp.asarray(s_gen, jnp.float32),
+    lg, ld, _, _ = loss.apply(jnp.asarray(s_gen, jnp.float32),
                            jnp.asarray(s_x, jnp.float32), "sym_rg",
                            batch_size=B, d=D, rng=key)
     from mmdgan_tpu.ops.distance import get_squared_dist
@@ -131,7 +131,7 @@ def test_mix_loss_gen_term(rng, key):
     """'mmd_g_mix' loss_gen equals the unmixed sigma-mixture MMD
     (math_func.py:2208-2210); the dis side uses mixed groups."""
     s_gen, s_x = scores(rng)
-    lg, ld, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
+    lg, ld, _, _ = gan_loss(jnp.asarray(s_gen, jnp.float32),
                          jnp.asarray(s_x, jnp.float32), "mmd_g_mix",
                          batch_size=B, rng=key, state=LossState.init())
     dgg, dgx, dxx = np_pd(s_gen, s_gen), np_pd(s_gen, s_x), np_pd(s_x, s_x)

@@ -80,8 +80,8 @@ def test_loss_dispatcher_pallas_flag(rng):
 
     s_gen, s_x = scores(rng)
     for loss_type in ("rep", "rmb"):
-        lg_p, ld_p, _ = gan_loss(s_gen, s_x, loss_type, batch_size=B, use_pallas=True)
-        lg_r, ld_r, _ = gan_loss(s_gen, s_x, loss_type, batch_size=B)
+        lg_p, ld_p, _, _ = gan_loss(s_gen, s_x, loss_type, batch_size=B, use_pallas=True)
+        lg_r, ld_r, _, _ = gan_loss(s_gen, s_x, loss_type, batch_size=B)
         np.testing.assert_allclose(float(lg_p), float(lg_r), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(float(ld_p), float(ld_r), rtol=1e-5, atol=1e-6)
 

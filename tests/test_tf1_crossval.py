@@ -177,11 +177,11 @@ def test_losses_match_reference_code(tmp_path):
 
     # dispatcher losses
     for loss_type in ["logistic", "hinge", "rep", "rmb", "mmd_g", "mmd_t", "mgb"]:
-        lg, ld, _ = GANLoss().apply(s_gen, s_x, loss_type, batch_size=b, d=d)
+        lg, ld, _, _ = GANLoss().apply(s_gen, s_x, loss_type, batch_size=b, d=d)
         close(data[f"loss:{loss_type}:gen"], lg, f"{loss_type}:gen")
         close(data[f"loss:{loss_type}:dis"], ld, f"{loss_type}:dis")
     for loss_type in ["rand_g", "rgb"]:
-        lg, ld, _ = GANLoss(omega_range=0.45).apply(
+        lg, ld, _, _ = GANLoss(omega_range=0.45).apply(
             s_gen, s_x, loss_type, batch_size=b, d=d)
         close(data[f"loss:{loss_type}:gen"], lg, f"{loss_type}:gen", rtol=1e-3)
         close(data[f"loss:{loss_type}:dis"], ld, f"{loss_type}:dis", rtol=1e-3)
@@ -234,7 +234,7 @@ def test_loss_gradients_match_reference_code(tmp_path):
         hp = GANLoss(omega_range=0.45) if loss_type == "rand_g" else GANLoss()
 
         def f(sg, sx):
-            lg, ld, _ = hp.apply(sg, sx, loss_type, batch_size=b, d=d)
+            lg, ld, _, _ = hp.apply(sg, sx, loss_type, batch_size=b, d=d)
             return lg + 0.5 * ld
 
         g_gen, g_x = jax.grad(f, argnums=(0, 1))(s_gen, s_x)

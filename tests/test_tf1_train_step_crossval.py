@@ -386,7 +386,7 @@ def test_mmd_gradient_penalty_matches_reference(tmp_path, key):
         pen = model.mmd_gradient_penalty(
             pd, state, key, x, gen_out["x"], s_x, s_gen, mode="rep_gp",
             uni=uni)
-        _, ld, _ = model.loss_hp.apply(
+        _, ld, _, _ = model.loss_hp.apply(
             s_gen, s_x, "rep", batch_size=x.shape[0], d=4)
         return ld + 10.0 * pen, pen
 
@@ -440,7 +440,7 @@ def test_mmd_gradient_scale_matches_reference(tmp_path, key):
         dis_out, _ = model.Dis.apply(pd, state["dis"], dis_in, train=True)
         s_x, s_gen = jnp.split(dis_out["x"], 2, axis=0)
         scale = model.mmd_gradient_scale(pd, state, x)
-        _, ld, _ = model.loss_hp.apply(
+        _, ld, _, _ = model.loss_hp.apply(
             s_gen, s_x, "rep_ds", batch_size=x.shape[0], d=4,
             dis_scale=scale)
         return ld, scale

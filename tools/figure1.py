@@ -49,7 +49,7 @@ def main():
     @jax.jit
     def step(particles):
         def loss_fn(pt):
-            lg, ld, _ = gan_loss(pt, target, args.loss, batch_size=args.batch)
+            lg, ld, _, _ = gan_loss(pt, target, args.loss, batch_size=args.batch)
             return lg
         l, g = jax.value_and_grad(loss_fn)(particles)
         return particles - args.lr * g, l

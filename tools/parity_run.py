@@ -66,7 +66,8 @@ def run(steps: int, seed: int, out_path: str, check_every: int = 10):
         batch = {"x": jnp.asarray(
             rng.randn(64, 32, 32, 3).astype(np.float32).clip(-1, 1)), "y": None}
         ts, m = step(ts, batch, t, t)
-        vals = {k: float(v) for k, v in jax.device_get(m).items()}
+        vals = {k: float(v) for k, v in jax.device_get(m).items()
+                if not k.startswith("hist/")}
         curve.append(vals)
         if i % check_every == 0:
             # recompute losses from scores via the independent numpy path
@@ -85,7 +86,7 @@ def run(steps: int, seed: int, out_path: str, check_every: int = 10):
             s_x = np.asarray(model.discriminate(
                 host.params, host.net_state, {"x": jnp.asarray(data), "y": None}))
             from mmdgan_tpu.ops.losses import gan_loss
-            lg_jax, ld_jax, _ = gan_loss(
+            lg_jax, ld_jax, _, _ = gan_loss(
                 jnp.asarray(s_gen), jnp.asarray(s_x), "rep", batch_size=64)
             lg_np, ld_np = np_rep_loss(s_gen, s_x)
             err = max(abs(float(lg_jax) - lg_np), abs(float(ld_jax) - ld_np))
