@@ -1,0 +1,151 @@
+"""Shared logic + worker entrypoint for the REAL 2-process
+``jax.distributed`` CPU test (tests/test_multihost.py).
+
+Each worker process forces the CPU platform with 4 virtual devices,
+joins a 2-process gloo cluster (8 global devices), builds the global
+``data`` mesh, and trains a tiny SNGAN through the *nproc>1* branches:
+
+- ``DataParallel.replicate`` / ``shard_batch`` via
+  ``jax.make_array_from_process_local_data`` (parallel/mesh.py:100-134),
+- ``ReadTFRecords.shard()`` per-process input sharding
+  (data/pipeline.py, record-level round-robin branch),
+- cross-process XLA collectives inside the jitted global-batch step.
+
+The parent test runs the identical computation single-process on the
+conftest 8-device mesh (assembling each global batch from both pipeline
+shards) and asserts the per-step losses agree.
+
+Run directly: ``python tests/multihost_worker.py <pid> <port> <data_dir>``
+"""
+
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+GLOBAL_BATCH = 16
+NUM_RECORDS = 64
+
+# 8x8 single-channel arch (test_trainer.py's tiny model)
+TINY_ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(16, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [8, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 1, "act": "tanh"},
+    ],
+    "discriminator": [
+        {"name": "l1", "out": 8, "act": "lrelu", "act_k": 1.3, "w_nm": "s",
+         "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s"},
+    ],
+}
+
+
+def make_dataset(data_dir: str, n: int = NUM_RECORDS, seed: int = 3):
+    """One tfrecord file of n CHW uint8 images — a single file forces the
+    record-level round-robin branch of ``ReadTFRecords.shard()``."""
+    import numpy as np
+    from mmdgan_tpu.data.converters import np_to_tfrecords
+
+    rng = np.random.RandomState(seed)
+    x = rng.randint(0, 256, (n, 1, 8, 8), np.uint8)
+    np_to_tfrecords(x, None, os.path.join(data_dir, "mh"))
+
+
+def shard_pipeline(data_dir: str, num_shards: int, idx: int,
+                   local_batch: int):
+    from mmdgan_tpu.data.pipeline import ReadTFRecords
+
+    p = ReadTFRecords("mh", file_folder=data_dir, batch_size=local_batch,
+                      buffer_size=1, seed=11, use_native=False)
+    p.shape2image(1, 8, 8)
+    p.shard(num_shards, idx)
+    return p
+
+
+def train_losses(dp, data_dir: str, steps: int = 4):
+    """Train ``steps`` single steps; returns [[loss_gen, loss_dis], ...].
+
+    Deterministic given the pipeline seed + PRNGKey(7), and identical
+    between one 8-device process and 2x4-device processes: the step has
+    global-batch semantics, SGD avoids Adam roundoff amplification
+    (CLAUDE.md), and the loss is row-permutation invariant."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import (build_train_step, init_train_state,
+                                  multi_opt_config)
+
+    model = SNGan(TINY_ARCH, loss_type="rep", do_summary=False)
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3], optimizer="sgd")
+    ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+    step = dp.compile_step(build_train_step(model, opt_d, opt_g))
+    ts = dp.replicate(ts)
+
+    half = GLOBAL_BATCH // 2
+    nproc = dp.process_count
+    if nproc == 1:
+        # ground truth: read BOTH pipeline shards and assemble the global
+        # batch in mesh-device order (shard 0 rows first)
+        its = [iter(shard_pipeline(data_dir, 2, i, half).next_batch())
+               for i in range(2)]
+
+        def batch_iter():
+            while True:
+                bs = [next(it) for it in its]
+                yield {"x": np.concatenate([b["x"] for b in bs]), "y": None}
+    else:
+        local = dp.local_batch_size(GLOBAL_BATCH)
+        assert local == half
+        it = iter(shard_pipeline(data_dir, nproc, jax.process_index(),
+                                 local).next_batch())
+
+        def batch_iter():
+            while True:
+                yield next(it)  # local slice; shard_batch assembles global
+
+    t = jnp.asarray(True)
+    losses = []
+    bi = batch_iter()
+    for _ in range(steps):
+        batch = dp.shard_batch(next(bi))
+        ts, m = step(ts, batch, t, t)
+        losses.append([float(jax.device_get(m["loss_gen"])),
+                       float(jax.device_get(m["loss_dis"]))])
+    return losses
+
+
+def worker_main():
+    pid, port, data_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    # CPU with 4 virtual devices per process; the env var is set by the
+    # spawning test, the config knob here beats any pre-imported platform
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+    assert jax.local_device_count() == 4 and jax.device_count() == 8
+
+    from mmdgan_tpu.parallel.mesh import DataParallel
+
+    dp = DataParallel()
+    assert dp.process_count == 2
+    losses = train_losses(dp, data_dir)
+    print("RESULT " + json.dumps(losses), flush=True)
+
+
+if __name__ == "__main__":
+    worker_main()

