@@ -345,3 +345,90 @@ def test_mesh_equality_conditional_dck():
         return m
 
     _assert_mesh_equal(mk, labels=3)
+
+
+def test_device_dataset_sharded_same_class_vs_replicated():
+    """Same-class sampling over a SHARDED HBM dataset (VERDICT r2 item
+    6): one global class draw per step + per-device local-row tables.
+    With per-class-constant rows (sampling composition neutralized) the
+    sharded path must equal the single-device same-class path exactly —
+    including the class SEQUENCE, since the class key is not
+    device-folded."""
+    from mmdgan_tpu.train.step import (
+        build_device_data_step, same_class_tables, sharded_same_class_tables)
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.3, "in_reshape": [8 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "w_nm": "s",
+             "act_k": 1.0}],
+    }
+    num_class = 4
+    n = 64
+    y = (np.arange(n) % num_class).astype(np.int64)  # every shard has all classes
+    # rows of class c are identical -> batch content depends only on the
+    # class sequence, which both paths draw from the same un-folded key
+    data_np = np.stack([np.full((8, 8, 1), 40 + 50 * c, np.uint8) for c in y])
+    on = jnp.ones(())
+
+    def run(mesh_size):
+        model = SNGan(arch, num_class=num_class, loss_type="rep",
+                      compute_dtype=jnp.float32)
+        model.sample_same_class = True
+        opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+        ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+        dp = DataParallel(make_mesh(jax.devices()[:mesh_size]))
+        ts = dp.replicate(ts)
+        if mesh_size == 1:
+            table, counts = same_class_tables(y, num_class)
+            builder = build_device_data_step(
+                model, opt_d, opt_g, num_steps=3, batch_size=16,
+                same_class=True, class_table=table, class_counts=counts)
+            fn = jax.jit(builder)
+            data = jnp.asarray(data_np)
+            yd = jnp.asarray(y.reshape(-1, 1))
+        else:
+            table, counts = sharded_same_class_tables(y, num_class, mesh_size)
+            builder = build_device_data_step(
+                model, opt_d, opt_g, num_steps=3, batch_size=16,
+                same_class=True, class_table=table, class_counts=counts)
+            fn = jax.jit(builder.with_mesh(dp.mesh))
+            data = jax.device_put(data_np, NamedSharding(dp.mesh, P("data")))
+            yd = jax.device_put(y.reshape(-1, 1),
+                                NamedSharding(dp.mesh, P("data")))
+        ts, _, m = fn(ts, data, yd, jax.random.PRNGKey(5), on, on)
+        return np.asarray(m["loss_gen"]), jax.device_get(ts.params)
+
+    lg1, p1 = run(1)
+    for nmesh in (2, 8):
+        lgn, pn = run(nmesh)
+        np.testing.assert_allclose(lgn, lg1, rtol=2e-4, atol=1e-5,
+                                   err_msg=f"mesh size {nmesh}")
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pn)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-6)
+
+
+def test_sharded_same_class_tables_local_rows():
+    """Per-device tables index LOCAL rows and cover each shard's classes."""
+    from mmdgan_tpu.train.step import sharded_same_class_tables
+
+    y = (np.arange(32) % 4).astype(np.int64)
+    tables, counts = sharded_same_class_tables(y, 4, 8)
+    assert tables.shape[0] == 8 and counts.shape == (8, 4)
+    assert counts.min() == 1  # 4 rows per shard, one per class
+    assert tables.max() < 4   # local row indices only
+    for d in range(8):
+        for c in range(4):
+            local_rows = tables[d, c, :counts[d, c]]
+            assert all(y[d * 4 + r] == c for r in local_rows)
+
+    with pytest.raises(AssertionError):
+        # class-sorted labels: some shard misses a class
+        sharded_same_class_tables(np.repeat(np.arange(4), 8), 4, 8)
