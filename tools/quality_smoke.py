@@ -63,6 +63,137 @@ def blob_batches(batch, size=32, seed=0, n_blobs=3, num_class=0):
                "y": None if y is None else y.reshape(-1, 1).astype(np.int64)}
 
 
+# every dispatcher branch (math_func.py:2600-2651) — the sweep trains each
+# for a couple thousand scanned steps and checks dynamics, not just values
+SWEEP_LOSSES = [
+    "logistic", "hinge", "wasserstein",
+    "mmd_g", "mmd_t", "mgb", "cramer",
+    "mmd_g_mix", "sgm", "rand_g", "rgb", "rand_g_mix", "sym_rg_mix",
+    "sym_rg", "instance_noise",
+    "rep", "rep_ds", "rep_gp", "rmb", "rmb_ds", "rmb_gp",
+]
+STATEFUL_LOSSES = {"mmd_g_mix", "sgm", "rand_g_mix", "sym_rg_mix",
+                   "instance_noise"}
+
+
+def run_sweep(args):
+    """Full-catalogue training sweep (VERDICT r2 item 4): every GANLoss
+    dispatcher branch trains ``--steps`` scanned steps on the blob
+    harness (HBM-resident f32 dataset). Asserts finite losses end-to-end
+    and, for the stateful families, that LossState actually EVOLVES
+    through the scan (coin moving average / instance-noise sigma) — the
+    state-threading property value-level unit tests cannot catch."""
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.architectures import cifar_architecture
+    from mmdgan_tpu.metrics.fid import fid_from_activations
+    from mmdgan_tpu.metrics.inception import RandomFeatureClassifier
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    n = args.device_dataset or 4096
+    data = blob_batches(args.batch, size=32)
+    chunks, got = [], 0
+    while got < n:
+        x = next(data)["x"]  # keep f32: quantized synthetic targets are
+        chunks.append(x)     # adversarially separable (CLAUDE.md gotcha)
+        got += x.shape[0]
+    host_ds = np.concatenate(chunks)[:n]
+    data_x = jnp.asarray(host_ds)
+    jax.block_until_ready(data_x)
+    clf = RandomFeatureClassifier(seed=0)
+    real_pool = np.concatenate([
+        clf(host_ds[i:i + args.batch])[1]
+        for i in range(0, args.eval_batches * args.batch, args.batch)])
+
+    t_flag = jnp.asarray(True)
+    rows = []
+    for loss in SWEEP_LOSSES:
+        t0 = time.time()
+        model = SNGan(cifar_architecture(), num_class=0, loss_type=loss)
+        opt_d, opt_g = multi_opt_config([args.lr_dis, args.lr_gen])
+        ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
+        step = jax.jit(build_device_data_step(
+            model, opt_d, opt_g, num_steps=args.scan_k,
+            batch_size=args.batch))
+        rng_dev = jax.random.PRNGKey(1)
+
+        def eval_fid(ts):
+            host = jax.device_get(ts)
+            pools = []
+            for i in range(args.eval_batches):
+                g = np.asarray(jax.device_get(model.generate(
+                    host.params, host.net_state,
+                    rng=jax.random.PRNGKey(500 + i), batch_size=args.batch)))
+                pools.append(clf(g)[1])
+            return fid_from_activations(real_pool, np.concatenate(pools))
+
+        fid0 = eval_fid(ts)
+        done, m = 0, None
+        ok, err = True, ""
+        try:
+            while done < args.steps:
+                ts, rng_dev, m = step(ts, data_x, None, rng_dev,
+                                      t_flag, t_flag)
+                done += args.scan_k
+                if done % 512 < args.scan_k:  # periodic NaN guard
+                    lg = float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
+                    if not np.isfinite(lg):
+                        raise FloatingPointError(f"loss_gen={lg} @ {done}")
+            mm = {k: float(np.asarray(jax.device_get(v))[-1])
+                  for k, v in m.items() if not k.startswith("hist/")}
+            assert np.isfinite(mm["loss_gen"]), mm
+            assert np.isfinite(mm["loss_dis"]), mm
+            fid1 = eval_fid(ts)
+            state = jax.device_get(ts.loss_state)
+            if loss in STATEFUL_LOSSES:
+                # the EMA moves off its zero init on step 1 and keeps
+                # tracking the loss — if LossState were dropped anywhere
+                # in the scan carry it would read 0.0 here
+                assert float(state.loss_average) != 0.0, (
+                    f"{loss}: LossState.loss_average did not evolve")
+                assert mm["state/loss_average"] == float(state.loss_average)
+        except Exception as e:  # keep sweeping; report at the end
+            ok, err, fid1 = False, f"{type(e).__name__}: {e}", float("nan")
+            mm, state = {}, None
+        rows.append({
+            "loss": loss, "ok": ok, "err": err,
+            "steps": done, "fid0": float(fid0), "fid1": float(fid1),
+            "loss_gen": mm.get("loss_gen", float("nan")),
+            "loss_dis": mm.get("loss_dis", float("nan")),
+            "e_kxx": mm.get("e_kxx"),
+            "coin_avg": (None if state is None or loss not in STATEFUL_LOSSES
+                         else float(state.loss_average)),
+            "mix_prob": (None if state is None or loss not in STATEFUL_LOSSES
+                         else float(state.mix_prob)),
+            "ins_sigma": (None if state is None or loss != "instance_noise"
+                          else float(state.ins_sigma)),
+            "sec": round(time.time() - t0, 1),
+        })
+        r = rows[-1]
+        print(f"[sweep] {loss:>14s}: {'OK ' if ok else 'FAIL '} "
+              f"fid {r['fid0']:.2f}->{r['fid1']:.2f} "
+              f"lg={r['loss_gen']:.4f} ld={r['loss_dis']:.4f} "
+              f"coin_avg={r['coin_avg']} ins_sigma={r['ins_sigma']} "
+              f"({r['sec']}s) {err}", flush=True)
+
+    print("\n| loss | steps | FID 0 -> end | loss_gen | loss_dis | e_kxx "
+          "| coin avg | mix prob | ins sigma |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    fmt = lambda v: "—" if v is None else f"{v:.4f}"
+    for r in rows:
+        print(f"| {r['loss']} | {r['steps']} | {r['fid0']:.2f} -> "
+              f"{r['fid1']:.2f} | {r['loss_gen']:.4f} | {r['loss_dis']:.4f} "
+              f"| {fmt(r['e_kxx'])} | {fmt(r['coin_avg'])} "
+              f"| {fmt(r['mix_prob'])} | {fmt(r['ins_sigma'])} |")
+    failed = [r["loss"] for r in rows if not r["ok"]]
+    print(f"\nsweep: {len(rows) - len(failed)}/{len(rows)} branches OK"
+          + (f"; FAILED: {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3000)
@@ -71,10 +202,18 @@ def main():
     p.add_argument("--scan-k", type=int, default=16)
     p.add_argument("--eval-batches", type=int, default=16)
     p.add_argument("--out", default="/tmp/quality_smoke")
-    p.add_argument("--arch", default="cifar", choices=["cifar", "celeba"],
-                   help="cifar: 32x32 (my_test_cifar.py); celeba: the "
-                        "64x64 10-layer arch (my_test_celebA.py) — the "
-                        "conv-compute-bound regime")
+    p.add_argument("--arch", default="cifar",
+                   choices=["cifar", "stl", "celeba", "lsun"],
+                   help="cifar: 32x32 (my_test_cifar.py); stl: 48x48 "
+                        "(my_test_stl.py); celeba/lsun: the 64x64 "
+                        "10-layer archs (my_test_celebA.py / "
+                        "my_test_lsun.py) — the conv-compute-bound regime")
+    p.add_argument("--sweep", action="store_true",
+                   help="full loss-catalogue training sweep: every "
+                        "dispatcher branch trains --steps scanned steps "
+                        "on the blob harness; asserts finite losses and "
+                        "that stateful losses' LossState evolves "
+                        "(results table on stdout)")
     p.add_argument("--loss", default="rep")
     p.add_argument("--lr-dis", type=float, default=5e-4)
     p.add_argument("--lr-gen", type=float, default=2e-4)
@@ -102,10 +241,18 @@ def main():
                         "Requires --device-dataset and --arch cifar.")
     args = p.parse_args()
 
+    if args.sweep:
+        if args.steps == 3000:
+            args.steps = 2000  # sweep default: 2k steps per branch
+        run_sweep(args)
+        return
+
     import jax
     import jax.numpy as jnp
 
-    from experiments.architectures import celeba_architecture, cifar_architecture
+    from experiments.architectures import (
+        celeba_architecture, cifar_architecture, lsun_architecture,
+        stl_architecture)
     from mmdgan_tpu.metrics.fid import fid_from_activations
     from mmdgan_tpu.metrics.inception import RandomFeatureClassifier
     from mmdgan_tpu.models import SNGan
@@ -124,7 +271,9 @@ def main():
         size = 32
     else:
         arch_fn, size = {"cifar": (cifar_architecture, 32),
-                         "celeba": (celeba_architecture, 64)}[args.arch]
+                         "stl": (stl_architecture, 48),
+                         "celeba": (celeba_architecture, 64),
+                         "lsun": (lsun_architecture, 64)}[args.arch]
         model = SNGan(arch_fn(), num_class=0, loss_type=args.loss)
     opt_d, opt_g = multi_opt_config([args.lr_dis, args.lr_gen])
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
@@ -253,7 +402,8 @@ def main():
         done += args.scan_k
         if done % args.eval_every < args.scan_k:
             fid, g = eval_fid(ts)
-            mm = {k: float(np.asarray(jax.device_get(v))[-1]) for k, v in m.items()}
+            mm = {k: float(np.asarray(jax.device_get(v))[-1])
+                  for k, v in m.items() if not k.startswith("hist/")}
             speed = (done - start_step) / (time.time() - start)
             print(f"step {done}: FID = {fid:.4f} loss_gen={mm['loss_gen']:.4f} "
                   f"loss_dis={mm['loss_dis']:.4f} s_x={mm['s_x_mean']:.3f} "
