@@ -316,6 +316,8 @@ def test_graft_dryrun_multichip_subprocess_like_driver():
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "dryrun_multichip(8): step ok" in proc.stdout
     assert "sharded device-dataset ok" in proc.stdout
+    assert "conditional cbn+dck ok" in proc.stdout
+    assert "rmb_gp second-order ok" in proc.stdout
 
 
 @pytest.mark.parametrize("loss_type", [
