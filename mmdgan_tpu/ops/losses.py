@@ -73,11 +73,17 @@ def fixed_bin_histogram(x: Array, lo: float, hi: float,
                         nbins: int = HIST_NBINS) -> Array:
     """Histogram with static bin count/range (jit- and scan-friendly
     stand-in for the reference's TB histogram summaries,
-    math_func.py:806-838). Returns f32 counts [nbins]."""
+    math_func.py:806-838). Returns f32 counts [nbins].
+
+    Implemented as a one-hot reduction, not bincount: TPU lowers
+    bincount to serialized scatter-adds (measured ~6% of the CIFAR
+    train step), while the one-hot sum is an MXU-friendly dense
+    reduction (~1% — measured 429.4 vs 455.8 steps/s with histograms
+    on, 461.2 off)."""
     idx = jnp.clip(
         ((x.reshape(-1) - lo) * (nbins / (hi - lo))).astype(jnp.int32),
         0, nbins - 1)
-    return jnp.bincount(idx, length=nbins).astype(jnp.float32)
+    return jnp.sum(jax.nn.one_hot(idx, nbins, dtype=jnp.float32), axis=0)
 
 
 @jax.tree_util.register_dataclass
