@@ -452,6 +452,7 @@ class Agent:
         force_print: bool = False,
         seed: int = 0,
         sample_same_class: bool = False,
+        dp: Optional[DataParallel] = None,
     ) -> TrainState:
         """Training loop over an HBM-resident dataset: ``data`` ({'x':
         [N,H,W,C] uint8 or f32, 'y': [N,1] or None}, e.g. from
@@ -461,9 +462,17 @@ class Agent:
         is ~6.6x faster than host-fed f32 batches (CIFAR b64: 62 -> 409
         steps/s). ``sample_same_class`` draws each batch from one class
         (group_by_window semantics; needs labels in ``data['y']``). Same
-        NaN/divergence guards, summaries and checkpointing as ``train``."""
+        NaN/divergence guards, summaries and checkpointing as ``train``.
+
+        ``dp``: a multi-device ``DataParallel`` shards the dataset over
+        the mesh (each chip stores N/D rows and samples locally via
+        shard_map; same-class batching uses per-device class tables with
+        one global class draw — train/step.py). Dataset rows are trimmed
+        to a multiple of the mesh size. ``ts`` should be replicated (a
+        host-local state is replicated here)."""
         from mmdgan_tpu.train.step import (
-            build_device_data_step, same_class_tables)
+            build_device_data_step, same_class_tables,
+            sharded_same_class_tables)
 
         if self.debug_mode is None:
             print("Agent: debug_mode=None, nothing to run.")
@@ -474,29 +483,54 @@ class Agent:
         if not hasattr(self, "_devdata_cache"):
             self._devdata_cache = {}
 
+        ndev = 1 if dp is None else dp.num_devices
+        host_x = np.asarray(data["x"])
+        host_y = None if data.get("y") is None else np.asarray(data["y"])
+        if ndev > 1 and host_x.shape[0] % ndev:
+            keep = host_x.shape[0] - host_x.shape[0] % ndev
+            warnings.warn(
+                f"trimming HBM dataset {host_x.shape[0]} -> {keep} rows "
+                f"to divide over {ndev} devices")
+            host_x = host_x[:keep]
+            host_y = None if host_y is None else host_y[:keep]
+
         table = counts = None
         if sample_same_class:
-            assert data.get("y") is not None, (
+            assert host_y is not None, (
                 "sample_same_class needs labels in data['y']")
-            table, counts = same_class_tables(data["y"], model.num_class)
+            if ndev > 1:
+                table, counts = sharded_same_class_tables(
+                    host_y, model.num_class, ndev)
+            else:
+                table, counts = same_class_tables(host_y, model.num_class)
 
         def get_fn(num_steps):
             cache_key = (id(model), id(opt_dis), id(opt_gen), num_steps,
-                         batch_size, sample_same_class)
+                         batch_size, sample_same_class, ndev)
             if cache_key not in self._devdata_cache:
-                self._devdata_cache[cache_key] = jax.jit(
-                    build_device_data_step(
-                        model, opt_dis, opt_gen, num_steps, batch_size,
-                        same_class=sample_same_class,
-                        class_table=table, class_counts=counts))
+                builder = build_device_data_step(
+                    model, opt_dis, opt_gen, num_steps, batch_size,
+                    same_class=sample_same_class,
+                    class_table=table, class_counts=counts)
+                if ndev > 1:
+                    builder = builder.with_mesh(dp.mesh, axis=dp.axis)
+                self._devdata_cache[cache_key] = jax.jit(builder)
             return self._devdata_cache[cache_key]
 
         fn = get_fn(k)
         if self.load_ckpt:
             ts = self.restore(ts)
-        data_x = jax.device_put(np.asarray(data["x"]))
-        data_y = (None if data.get("y") is None
-                  else jax.device_put(np.asarray(data["y"])))
+        if ndev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(dp.mesh, P(dp.axis))
+            data_x = jax.device_put(host_x, batch_sh)
+            data_y = None if host_y is None else jax.device_put(
+                host_y, batch_sh)
+            ts = dp.replicate(ts)
+        else:
+            data_x = jax.device_put(host_x)
+            data_y = None if host_y is None else jax.device_put(host_y)
         rng = jax.random.PRNGKey(seed + 54321)
         t_true = jnp.ones(())
         start_step = int(jax.device_get(ts.step))

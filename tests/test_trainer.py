@@ -342,3 +342,47 @@ def test_loss_observability_multi_step_path(tmp_path, key):
     recs = [json.loads(l) for l in open(jsonl)]
     assert any("e_kxx" in r for r in recs if "hist" not in r)
     assert any(r.get("hist") == "hist/d_xy" for r in recs)
+
+
+def test_train_device_data_mesh(tmp_path, key):
+    """Agent.train_device_data over an 8-device mesh: dataset sharded
+    over the mesh (trimmed to a divisible row count), local shard_map
+    sampling, state replicated — the facade path for multi-chip
+    HBM-resident training (incl. sharded same-class batching)."""
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.trainer import Agent
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [8 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "w_nm": "s",
+             "act_k": 1.0}],
+    }
+    model = SNGan(arch, num_class=4, loss_type="rep")
+    model.sample_same_class = True
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    dp = DataParallel()
+    assert dp.num_devices == 8
+    agent = Agent(filename="devmesh", sub_folder="t",
+                  output_dir=str(tmp_path), debug_mode=False, query_step=8,
+                  do_save=False, use_tensorboard=False)
+    rng = np.random.RandomState(0)
+    # 131 rows: trims to 128 for the 8-device shard; cyclic labels so
+    # every shard holds every class
+    data = {"x": rng.randint(0, 256, size=(131, 8, 8, 1), dtype=np.uint8),
+            "y": (np.arange(131) % 4).reshape(-1, 1).astype(np.int64)}
+    with pytest.warns(UserWarning, match="trimming"):
+        ts = agent.train_device_data(
+            model, opt_d, opt_g, ts, data, max_step=16, step_per_epoch=4,
+            batch_size=16, steps_per_call=8, dp=dp)
+    assert int(jax.device_get(ts.step)) == 16
+    # the state stays replicated and finite
+    lg = float(jax.device_get(ts.loss_state.loss_average))
+    assert np.isfinite(lg)
