@@ -124,6 +124,52 @@ def train_losses(dp, data_dir: str, steps: int = 4):
     return losses
 
 
+def device_data_losses(dp, steps: int = 2, scan_k: int = 3):
+    """HBM-resident sharded-dataset training across process boundaries:
+    the global [N, ...] dataset is laid out with P('data') (each process
+    contributes its local rows), and the shard_map sampler draws
+    per-device. Identical global device order + per-device folded RNG
+    streams make the sampled batches — and hence the losses — equal
+    between one 8-device process and 2x4-device processes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    model = SNGan(TINY_ARCH, loss_type="rep", do_summary=False)
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3], optimizer="sgd")
+    ts = dp.replicate(init_train_state(model, jax.random.PRNGKey(9),
+                                       opt_d, opt_g))
+    builder = build_device_data_step(
+        model, opt_d, opt_g, num_steps=scan_k, batch_size=GLOBAL_BATCH)
+    fn = jax.jit(builder.with_mesh(dp.mesh, axis=dp.axis))
+
+    n = 64
+    data_np = np.random.RandomState(5).randint(0, 256, (n, 8, 8, 1),
+                                               np.uint8)
+    sharding = NamedSharding(dp.mesh, P(dp.axis))
+    if dp.process_count == 1:
+        data = jax.device_put(data_np, sharding)
+    else:
+        local_n = n // dp.process_count
+        local = data_np[jax.process_index() * local_n:
+                        (jax.process_index() + 1) * local_n]
+        data = jax.make_array_from_process_local_data(
+            sharding, local, data_np.shape)
+
+    rng = jax.random.PRNGKey(17)
+    on = jnp.ones(())
+    losses = []
+    for _ in range(steps):
+        ts, rng, m = fn(ts, data, None, rng, on, on)
+        losses.append(np.asarray(jax.device_get(m["loss_gen"])).tolist())
+    return losses
+
+
 def worker_main():
     pid, port, data_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     # CPU with 4 virtual devices per process; the env var is set by the
@@ -145,6 +191,8 @@ def worker_main():
     assert dp.process_count == 2
     losses = train_losses(dp, data_dir)
     print("RESULT " + json.dumps(losses), flush=True)
+    dd_losses = device_data_losses(dp)
+    print("RESULT_DD " + json.dumps(dd_losses), flush=True)
 
 
 if __name__ == "__main__":

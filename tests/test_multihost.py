@@ -15,7 +15,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from multihost_worker import make_dataset, train_losses  # noqa: E402
+from multihost_worker import (  # noqa: E402
+    device_data_losses, make_dataset, train_losses)
 
 
 def _free_port() -> int:
@@ -33,6 +34,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     from mmdgan_tpu.parallel import DataParallel
 
     ref = train_losses(DataParallel(), str(tmp_path), steps=4)
+    ref_dd = device_data_losses(DataParallel())
 
     port = _free_port()
     env = dict(os.environ)
@@ -51,13 +53,23 @@ def test_two_process_training_matches_single_process(tmp_path):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o}"
 
-    results = []
+    results, results_dd = [], []
     for o in outs:
         lines = [l for l in o.splitlines() if l.startswith("RESULT ")]
         assert lines, f"no RESULT line in worker output:\n{o}"
         results.append(json.loads(lines[-1][len("RESULT "):]))
+        dd = [l for l in o.splitlines() if l.startswith("RESULT_DD ")]
+        assert dd, f"no RESULT_DD line in worker output:\n{o}"
+        results_dd.append(json.loads(dd[-1][len("RESULT_DD "):]))
 
     # both processes see the identical replicated global losses
     np.testing.assert_array_equal(results[0], results[1])
     # and they equal the single-process global-batch computation
     np.testing.assert_allclose(results[0], ref, rtol=2e-4, atol=1e-5)
+
+    # sharded HBM device-dataset path across the process boundary: the
+    # per-device sampler draws the identical rows (same global device
+    # order, same folded streams), so losses match the single-process
+    # 8-device run too
+    np.testing.assert_array_equal(results_dd[0], results_dd[1])
+    np.testing.assert_allclose(results_dd[0], ref_dd, rtol=2e-4, atol=1e-5)
