@@ -132,7 +132,12 @@ class ReadTFRecords:
         native = None
         if self.use_native:
             try:
-                from mmdgan_tpu.data.native import NativeRecordIterator
+                # get_lib() forces the lazy g++ build/dlopen NOW — the
+                # import alone always succeeds, so without this a missing
+                # toolchain would crash mid-iteration instead of falling
+                # back to the pure-Python reader
+                from mmdgan_tpu.data.native import NativeRecordIterator, get_lib
+                get_lib()
                 native = NativeRecordIterator
             except Exception:
                 native = None

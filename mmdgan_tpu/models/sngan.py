@@ -89,13 +89,14 @@ class SNGan:
         [(code_size, act)], 'generator' and 'discriminator' layer lists —
         the exact reference format (my_test_cifar.py:12-38).
 
-        ``do_summary`` (default on) surfaces the loss-internals scalars
-        (kernel means, Newton beta, coin state) and per-net grad norms in
-        the step metrics — measured free (<1%) since they reuse computed
-        values. ``summary_histograms`` additionally emits hist/* fixed-
-        bin distance/score histograms from inside the step — measured
-        ~6% step cost in the HBM-bound CIFAR regime (the bincount
-        scatter), so it is a separate opt-in, mirroring the reference
+        Observability (docs/observability.md): the loss-internals
+        scalars (kernel means, Newton beta, coin state, penalty
+        magnitudes) are ALWAYS in the step metrics — they reuse values
+        the loss computes, measured free. ``do_summary`` (default on)
+        additionally gates the per-net gradient norms (~free).
+        ``summary_histograms`` opts into hist/* fixed-bin distance/score
+        histograms from inside the step — measured ~1% step cost (an
+        MXU one-hot reduction), kept opt-in to mirror the reference,
         where histogram summary ops only executed on query-step fetches
         (graph_func.py:860-866)."""
         self.architecture = architecture

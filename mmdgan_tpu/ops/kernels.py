@@ -184,11 +184,17 @@ def mixture_mmd_g(
         return sum(
             mmd_g(dist_xx, dist_xy, dist_yy, batch_size, sigma=s) for s in sigma
         )
-    mmd, loss_sigma = 0.0, 0.0
-    for s, vt in zip(sigma, var_targets):
-        m_i, l_i = mmd_g(dist_xx, dist_xy, dist_yy, batch_size, sigma=s, var_target=vt)
+    mmd, loss_sigma, aux = 0.0, 0.0, {}
+    for i, (s, vt) in enumerate(zip(sigma, var_targets)):
+        out = mmd_g(dist_xx, dist_xy, dist_yy, batch_size, sigma=s,
+                    var_target=vt, with_aux=with_aux)
+        if with_aux:
+            m_i, l_i, a_i = out
+            aux.update({f"sigma_{i}/{k}": v for k, v in a_i.items()})
+        else:
+            m_i, l_i = out
         mmd, loss_sigma = mmd + m_i, loss_sigma + l_i
-    return mmd, loss_sigma
+    return (mmd, loss_sigma, aux) if with_aux else (mmd, loss_sigma)
 
 
 # ---------------------------------------------------------------------------
@@ -246,11 +252,17 @@ def mixture_mmd_t(
             mmd_t(dist_xx, dist_xy, dist_yy, batch_size, alpha=a, beta=beta)
             for a in alpha
         )
-    mmd, loss_alpha = 0.0, 0.0
-    for a, vt in zip(alpha, var_targets):
-        m_i, l_i = mmd_t(dist_xx, dist_xy, dist_yy, batch_size, alpha=a, beta=beta, var_target=vt)
+    mmd, loss_alpha, aux = 0.0, 0.0, {}
+    for i, (a, vt) in enumerate(zip(alpha, var_targets)):
+        out = mmd_t(dist_xx, dist_xy, dist_yy, batch_size, alpha=a, beta=beta,
+                    var_target=vt, with_aux=with_aux)
+        if with_aux:
+            m_i, l_i, a_i = out
+            aux.update({f"alpha_{i}/{k}": v for k, v in a_i.items()})
+        else:
+            m_i, l_i = out
         mmd, loss_alpha = mmd + m_i, loss_alpha + l_i
-    return mmd, loss_alpha
+    return (mmd, loss_alpha, aux) if with_aux else (mmd, loss_alpha)
 
 
 def cramer(dist_xx, dist_xy, dist_yy, batch_size, epsi: float = 1e-16,

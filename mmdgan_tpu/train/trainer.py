@@ -116,9 +116,13 @@ class Agent:
         for k, counts in hists.items():
             lo, hi = HIST_RANGES.get(k, (0.0, 1.0))
             self.writer.histogram(gstep, k, counts, lo, hi)
+        # track the last written step explicitly: query writes land on
+        # uneven steps (scan windows, final step), so a modular window
+        # test can double-write or skip a period
         if (ts is not None and self.param_hist_step > 0
-                and gstep // self.param_hist_step
-                != (gstep - self.query_step) // self.param_hist_step):
+                and gstep - getattr(self, "_last_param_hist", -(1 << 62))
+                >= self.param_hist_step):
+            self._last_param_hist = gstep
             self.write_param_histograms(ts, gstep)
 
     def write_param_histograms(self, ts: TrainState, step: int):
@@ -468,8 +472,13 @@ class Agent:
         the mesh (each chip stores N/D rows and samples locally via
         shard_map; same-class batching uses per-device class tables with
         one global class draw — train/step.py). Dataset rows are trimmed
-        to a multiple of the mesh size. ``ts`` should be replicated (a
-        host-local state is replicated here)."""
+        to a multiple of the per-process device count. ``ts`` should be
+        replicated (a host-local state is replicated here). Under
+        multi-process SPMD ``data`` holds this process's LOCAL rows
+        (assembled globally via make_array_from_process_local_data, like
+        ``shard_batch``); ``sample_same_class`` is single-process-only
+        through this facade — it needs the global label layout, so build
+        ``sharded_same_class_tables`` yourself there."""
         from mmdgan_tpu.train.step import (
             build_device_data_step, same_class_tables,
             sharded_same_class_tables)
@@ -484,13 +493,24 @@ class Agent:
             self._devdata_cache = {}
 
         ndev = 1 if dp is None else dp.num_devices
+        nproc = 1 if dp is None else dp.process_count
+        if nproc > 1:
+            # data holds this PROCESS's local rows (like shard_batch);
+            # same-class needs the global label layout no process has —
+            # build tables yourself and use build_device_data_step
+            # directly for that combination
+            assert not sample_same_class, (
+                "sample_same_class over a multi-process mesh is not "
+                "supported through this facade; use "
+                "sharded_same_class_tables + build_device_data_step")
         host_x = np.asarray(data["x"])
         host_y = None if data.get("y") is None else np.asarray(data["y"])
-        if ndev > 1 and host_x.shape[0] % ndev:
-            keep = host_x.shape[0] - host_x.shape[0] % ndev
+        local_dev = ndev // nproc
+        if local_dev > 1 and host_x.shape[0] % local_dev:
+            keep = host_x.shape[0] - host_x.shape[0] % local_dev
             warnings.warn(
                 f"trimming HBM dataset {host_x.shape[0]} -> {keep} rows "
-                f"to divide over {ndev} devices")
+                f"to divide over {local_dev} local devices")
             host_x = host_x[:keep]
             host_y = None if host_y is None else host_y[:keep]
 
@@ -505,8 +525,15 @@ class Agent:
                 table, counts = same_class_tables(host_y, model.num_class)
 
         def get_fn(num_steps):
+            # the jitted step CLOSES OVER the class tables and the mesh —
+            # both must be part of the key or a second call with a
+            # different dataset/mesh would silently reuse stale closures
+            table_key = (None if table is None
+                         else (table.tobytes(), counts.tobytes()))
+            mesh_key = None if dp is None else id(dp.mesh)
             cache_key = (id(model), id(opt_dis), id(opt_gen), num_steps,
-                         batch_size, sample_same_class, ndev)
+                         batch_size, sample_same_class, ndev, table_key,
+                         mesh_key)
             if cache_key not in self._devdata_cache:
                 builder = build_device_data_step(
                     model, opt_dis, opt_gen, num_steps, batch_size,
@@ -524,9 +551,22 @@ class Agent:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batch_sh = NamedSharding(dp.mesh, P(dp.axis))
-            data_x = jax.device_put(host_x, batch_sh)
-            data_y = None if host_y is None else jax.device_put(
-                host_y, batch_sh)
+            if nproc > 1:
+                # device_put cannot address other hosts' devices; the
+                # global array is assembled from each process's local
+                # rows (docs/multihost.md, like shard_batch)
+                gshape = (host_x.shape[0] * nproc,) + host_x.shape[1:]
+                data_x = jax.make_array_from_process_local_data(
+                    batch_sh, host_x, gshape)
+                data_y = None
+                if host_y is not None:
+                    gy = (host_y.shape[0] * nproc,) + host_y.shape[1:]
+                    data_y = jax.make_array_from_process_local_data(
+                        batch_sh, host_y, gy)
+            else:
+                data_x = jax.device_put(host_x, batch_sh)
+                data_y = None if host_y is None else jax.device_put(
+                    host_y, batch_sh)
             ts = dp.replicate(ts)
         else:
             data_x = jax.device_put(host_x)

@@ -452,3 +452,24 @@ def test_pipeline_resize_matches_tf1_align_corners(tmp_path):
         ref = s.run(tf.image.resize_images(tf.constant(hwc), (12, 12),
                                            align_corners=True))
     np.testing.assert_allclose(batch["x"], ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_native_fallback_when_lib_unavailable(tmp_path, monkeypatch):
+    """A host where the native lib cannot build must fall back to the
+    pure-Python reader instead of crashing mid-iteration (the lazy
+    get_lib() contract; same bug class as the converters fallback)."""
+    import mmdgan_tpu.data.native as native_mod
+    from mmdgan_tpu.data.pipeline import ReadTFRecords
+
+    x = np.random.RandomState(0).randint(0, 256, (10, 1, 4, 4), np.uint8)
+    np_to_tfrecords(x, None, str(tmp_path / "fb"))
+
+    def boom():
+        raise OSError("no toolchain")
+
+    monkeypatch.setattr(native_mod, "get_lib", boom)
+    p = ReadTFRecords("fb", file_folder=str(tmp_path), batch_size=5,
+                      buffer_size=1, use_native=True)
+    p.shape2image(1, 4, 4)
+    batch = next(iter(p.next_batch()))
+    assert batch["x"].shape == (5, 4, 4, 1)

@@ -227,3 +227,23 @@ def test_losses_are_differentiable(rng):
 
     g2 = jax.grad(loss_fn2)(x)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_mixture_with_aux_var_targets():
+    """with_aux must be honored on the var_targets path too (the trailing
+    aux dict joins the (mmd, loss_sigma) pair)."""
+    rng = np.random.RandomState(0)
+    s = jnp.asarray(rng.rand(8, 8) + 0.1)
+    m0, ls0 = mixture_mmd_g(s, s, s, 8, sigma=[1.0, 2.0],
+                            var_targets=[0.1, 0.2])
+    m1, ls1, aux = mixture_mmd_g(s, s, s, 8, sigma=[1.0, 2.0],
+                                 var_targets=[0.1, 0.2], with_aux=True)
+    np.testing.assert_allclose(float(m0), float(m1))
+    np.testing.assert_allclose(float(ls0), float(ls1))
+    assert "sigma_0/e_kxx" in aux and "sigma_1/e_kyy" in aux
+    from mmdgan_tpu.ops.kernels import mixture_mmd_t as _mmt
+    m0, la0 = _mmt(s, s, s, 8, alpha=[0.5, 1.0], var_targets=[0.1, 0.2])
+    m1, la1, aux = _mmt(s, s, s, 8, alpha=[0.5, 1.0],
+                        var_targets=[0.1, 0.2], with_aux=True)
+    np.testing.assert_allclose(float(m0), float(m1))
+    assert "alpha_1/e_kxy" in aux

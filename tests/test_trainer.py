@@ -386,3 +386,49 @@ def test_train_device_data_mesh(tmp_path, key):
     # the state stays replicated and finite
     lg = float(jax.device_get(ts.loss_state.loss_average))
     assert np.isfinite(lg)
+
+
+def test_train_device_data_cache_not_stale(tmp_path, key):
+    """The jitted device-data step closes over the class tables; a second
+    call with a DIFFERENT dataset must compile a new step, not reuse the
+    first dataset's baked-in tables."""
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [8 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "w_nm": "s",
+             "act_k": 1.0}],
+    }
+    model = SNGan(arch, num_class=2, loss_type="rep")
+    model.sample_same_class = True
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, key, opt_d, opt_g)
+    agent = Agent(filename="cache", sub_folder="t", output_dir=str(tmp_path),
+                  debug_mode=False, query_step=100, do_save=False,
+                  use_tensorboard=False)
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (32, 8, 8, 1), np.uint8)
+    d1 = {"x": x, "y": (np.arange(32) % 2).reshape(-1, 1).astype(np.int64)}
+    # second dataset: same shapes, labels swapped -> different tables
+    d2 = {"x": x, "y": (1 - np.arange(32) % 2).reshape(-1, 1).astype(np.int64)}
+    ts = agent.train_device_data(model, opt_d, opt_g, ts, d1, max_step=4,
+                                 step_per_epoch=4, batch_size=8,
+                                 steps_per_call=4, sample_same_class=True)
+    n_compiled = len(agent._devdata_cache)
+    ts = agent.train_device_data(model, opt_d, opt_g, ts, d2, max_step=4,
+                                 step_per_epoch=4, batch_size=8,
+                                 steps_per_call=4, sample_same_class=True)
+    assert len(agent._devdata_cache) == n_compiled + 1, (
+        "different class tables must not hit the same cached step")
+    # identical dataset again -> cache hit, no growth
+    agent.train_device_data(model, opt_d, opt_g, ts, d2, max_step=4,
+                            step_per_epoch=4, batch_size=8, steps_per_call=4,
+                            sample_same_class=True)
+    assert len(agent._devdata_cache) == n_compiled + 1
