@@ -15,6 +15,12 @@ all chips with a single ``data`` axis:
 
 This gives exact single-device loss semantics (the global Gram matrix,
 not an average of per-shard MMDs) at data-parallel throughput.
+
+For models whose parameters/optimizer state outgrow one chip's HBM, a
+2-D ``('data','model')`` mesh (``make_mesh_2d``) additionally shards
+state leaves over the model axis via ``DataParallel.shard_state`` —
+placement only; the step keeps global semantics and XLA inserts the
+per-layer collectives (docs/SCALING.md "Optional 2-D mesh").
 """
 
 from __future__ import annotations
@@ -36,6 +42,27 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(
+    data: int,
+    model: int,
+    devices: Optional[Sequence] = None,
+    axes: Sequence[str] = ("data", "model"),
+) -> Mesh:
+    """A 2-D (data x model) mesh over the first ``data*model`` devices.
+
+    The model axis is the fastest-varying one so that, on real hardware,
+    model-parallel collectives (which fire per layer) ride the
+    nearest-neighbour ICI links while data-parallel gradient reductions
+    (once per step) span the longer dimension.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = data * model
+    assert len(devices) >= n, (
+        f"need {n} devices for a ({data},{model}) mesh, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(data, model), tuple(axes))
+
+
 class DataParallel:
     """Data-parallel wrapper: shard batches, replicate state, compile the
     step once with the right shardings.
@@ -52,6 +79,10 @@ class DataParallel:
     def __init__(self, mesh: Optional[Mesh] = None, axis: str = "data"):
         self.mesh = mesh if mesh is not None else make_mesh(axis=axis)
         self.axis = self.mesh.axis_names[0]
+        # Optional second mesh axis (make_mesh_2d): parameters/optimizer
+        # slots are sharded over it by shard_state; batches never are.
+        self.model_axis = (
+            self.mesh.axis_names[1] if len(self.mesh.axis_names) > 1 else None)
         self.batch_sharding = NamedSharding(self.mesh, P(self.axis))
         self.replicated = NamedSharding(self.mesh, P())
         self._compiled: Dict = {}
@@ -59,6 +90,11 @@ class DataParallel:
     @property
     def num_devices(self) -> int:
         return self.mesh.size
+
+    @property
+    def data_size(self) -> int:
+        """Number of shards along the data (batch) axis."""
+        return self.mesh.shape[self.axis]
 
     @property
     def process_count(self) -> int:
@@ -92,9 +128,9 @@ class DataParallel:
                 if x is None:
                     return None
                 x = jnp.asarray(x)
-                assert x.shape[batch_dim] % self.mesh.size == 0, (
-                    f"batch dim {x.shape[batch_dim]} not divisible by mesh "
-                    f"size {self.mesh.size}")
+                assert x.shape[batch_dim] % self.data_size == 0, (
+                    f"batch dim {x.shape[batch_dim]} not divisible by data "
+                    f"axis size {self.data_size}")
                 return jax.device_put(x, sharding)
         else:
             def put(x):
@@ -130,6 +166,47 @@ class DataParallel:
             x = np.asarray(x)
             return jax.make_array_from_process_local_data(
                 self.replicated, x, x.shape)
+
+        return jax.tree.map(put, tree, is_leaf=lambda v: v is None)
+
+    def _leaf_spec(self, x, min_size: int) -> P:
+        """Sharding rule for one state leaf under a 2-D mesh: shard the
+        last (output-channel / feature) dimension over the model axis when
+        it divides evenly and the leaf is big enough to be worth
+        splitting; replicate everything else (scalars, RNG keys, BN
+        statistics, tiny biases). The rule is a *placement* choice only —
+        the train step keeps global semantics, so XLA's SPMD partitioner
+        inserts whatever collectives are needed to preserve exact
+        single-device math regardless of which leaves shard."""
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 1
+        m = self.mesh.shape[self.model_axis]
+        if shape and size >= min_size and shape[-1] % m == 0:
+            return P(*([None] * (len(shape) - 1) + [self.model_axis]))
+        return P()
+
+    def shard_state(self, tree, min_size: int = 2048):
+        """Place the train state on the mesh.
+
+        1-D mesh: replicate (the standard data-parallel layout). 2-D mesh
+        (``make_mesh_2d``): parameters/optimizer slots are sharded over
+        the model axis by ``_leaf_spec`` — weight-sharded (tensor
+        parallel) training for models whose parameters/optimizer state
+        outgrow a single chip's HBM. At reference scale (tens of MB of
+        params) this is pure collective overhead; see docs/SCALING.md.
+        """
+        if self.model_axis is None:
+            return self.replicate(tree)
+        assert self.process_count == 1, (
+            "model-axis state sharding is single-process (one host / one "
+            "slice); use a 1-D mesh for multi-host data parallelism")
+
+        def put(x):
+            if x is None:
+                return None
+            x = jnp.asarray(x)
+            spec = self._leaf_spec(x, min_size)
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return jax.tree.map(put, tree, is_leaf=lambda v: v is None)
 

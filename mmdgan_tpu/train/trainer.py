@@ -241,7 +241,7 @@ class Agent:
 
         dp = dp or DataParallel()
         step_fn = dp.compile_step(train_step)
-        ts = dp.replicate(ts)
+        ts = dp.shard_state(ts)
         if self.load_ckpt:
             ts = self.restore(ts)
 
@@ -350,7 +350,7 @@ class Agent:
                 multi = imbalanced_scan(train_step, k, iu)
             self._multi_cache[cache_key] = multi
         step_fn = dp.compile_step(self._multi_cache[cache_key])
-        ts = dp.replicate(ts)
+        ts = dp.shard_state(ts)
         if self.load_ckpt:
             ts = self.restore(ts)
         start_step = int(jax.device_get(ts.step))
@@ -494,6 +494,9 @@ class Agent:
 
         ndev = 1 if dp is None else dp.num_devices
         nproc = 1 if dp is None else dp.process_count
+        assert dp is None or dp.model_axis is None, (
+            "HBM-resident datasets are data-parallel only (the shard_map "
+            "sampler shards rows over the data axis); use a 1-D mesh")
         if nproc > 1:
             # data holds this PROCESS's local rows (like shard_batch);
             # same-class needs the global label layout no process has —
@@ -567,7 +570,7 @@ class Agent:
                 data_x = jax.device_put(host_x, batch_sh)
                 data_y = None if host_y is None else jax.device_put(
                     host_y, batch_sh)
-            ts = dp.replicate(ts)
+            ts = dp.shard_state(ts)
         else:
             data_x = jax.device_put(host_x)
             data_y = None if host_y is None else jax.device_put(host_y)

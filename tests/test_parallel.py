@@ -432,3 +432,97 @@ def test_sharded_same_class_tables_local_rows():
     with pytest.raises(AssertionError):
         # class-sorted labels: some shard misses a class
         sharded_same_class_tables(np.repeat(np.arange(4), 8), 4, 8)
+
+
+CONV_ARCH = {
+    # conv-bearing tiny arch (tc + conv kernels have a real output-channel
+    # dim for the model-axis sharding rule to split)
+    "input": [(1, 8, 8)],
+    "code": [(16, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [8, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": "bn",
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 1, "act": "tanh"},
+    ],
+    "discriminator": [
+        {"name": "l1", "out": 8, "act": "lrelu", "act_k": 1.3, "w_nm": "s",
+         "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s"},
+    ],
+}
+
+
+def test_mesh_equality_model_parallel_2d():
+    """2-D (data x model) mesh: `shard_state` splits parameter/optimizer
+    leaves over the model axis (weight-sharded training for models whose
+    state outgrows one chip's HBM). The step keeps global semantics, so
+    losses and post-step params must equal the single-device run on both
+    (4,2) and (2,4) layouts — and the rule must actually shard leaves,
+    otherwise this test would pass trivially."""
+    from mmdgan_tpu.parallel.mesh import make_mesh_2d
+
+    rng = np.random.RandomState(0)
+    batches = [
+        {"x": jnp.asarray(rng.randn(B, 8, 8, 1).astype(np.float32)),
+         "y": None}
+        for _ in range(2)
+    ]
+
+    def run(mesh):
+        model = SNGan(CONV_ARCH, num_class=0, loss_type="rep",
+                      compute_dtype=jnp.float32)
+        opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+        ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+        if mesh is None:
+            step = jax.jit(build_train_step(model, opt_d, opt_g))
+            dp = None
+        else:
+            dp = DataParallel(mesh)
+            ts = dp.shard_state(ts, min_size=1)
+            n_sharded = sum(
+                any(ax is not None for ax in l.sharding.spec)
+                for l in jax.tree.leaves(ts.params))
+            assert n_sharded >= 5, "sharding rule left everything replicated"
+            step = dp.compile_step(build_train_step(model, opt_d, opt_g))
+        t = jnp.asarray(True)
+        losses = []
+        for b in batches:
+            bb = dp.shard_batch(b) if dp else b
+            ts, m = step(ts, bb, t, t)
+            losses.append((float(m["loss_gen"]), float(m["loss_dis"])))
+        return losses, jax.device_get(ts.params)
+
+    ref_losses, ref_params = run(None)
+    for shape in ((4, 2), (2, 4)):
+        losses, params = run(make_mesh_2d(*shape))
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref_losses), rtol=2e-4,
+            atol=1e-5, err_msg=f"mesh {shape} losses")
+        for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6,
+                err_msg=f"mesh {shape} params")
+
+
+def test_shard_state_1d_replicates_and_2d_guards():
+    """On a 1-D mesh shard_state == replicate; a 2-D dp refuses the
+    HBM-resident dataset facade (its shard_map sampler is 1-D only)."""
+    from mmdgan_tpu.parallel.mesh import make_mesh_2d
+    from mmdgan_tpu.train.trainer import Agent
+
+    dp1 = DataParallel(make_mesh(jax.devices()[:2]))
+    x = {"w": jnp.ones((4, 4))}
+    out = dp1.shard_state(x)
+    assert out["w"].sharding.is_fully_replicated
+
+    dp2 = DataParallel(make_mesh_2d(2, 2))
+    assert dp2.model_axis == "model" and dp2.data_size == 2
+    agent = Agent("guard", "t", do_save=False, use_tensorboard=False,
+                  output_dir="/tmp/mmdgan_2d_guard")
+    with pytest.raises(AssertionError, match="data-parallel only"):
+        agent.train_device_data(
+            None, None, None, None,
+            {"x": np.zeros((8, 8, 8, 1), np.float32), "y": None},
+            max_step=1, step_per_epoch=1, batch_size=4, dp=dp2)
