@@ -115,10 +115,14 @@ def bench_arch(name, dp, bf16_moments=False):
     }
 
 
-def bench_hbm_dataset(dp):
+def bench_hbm_dataset(dp, sampling="uniform"):
     """Real-data path: CIFAR-sized uint8 dataset resident in HBM, batches
-    gathered on device (the content is synthetic; the measured cost —
-    gather + uint8 decode + train step, zero host link — is the same)."""
+    sampled on device (the content is synthetic; the measured cost —
+    sampling + uint8 decode + train step, zero host link — is the same).
+    ``sampling="shuffled_epochs"`` benches the epoch-slice sampler
+    (tools/hbm_study.py); its once-per-781-steps epoch re-permutation is
+    outside this 512-step window and costs ~one dataset pass of HBM
+    bandwidth (<0.1% amortized)."""
     from mmdgan_tpu.train.step import build_device_data_step
 
     arch, img = _arch_and_img("cifar")
@@ -126,7 +130,8 @@ def bench_hbm_dataset(dp):
     opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam")
     ts = dp.replicate(init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g))
     builder = build_device_data_step(
-        model, opt_d, opt_g, num_steps=SCAN_K, batch_size=BATCH)
+        model, opt_d, opt_g, num_steps=SCAN_K, batch_size=BATCH,
+        sampling=sampling)
     fn = jax.jit(builder)
     data = jnp.asarray(np.random.RandomState(0).randint(
         0, 256, (50000, img, img, 3), np.uint8))
@@ -144,10 +149,12 @@ def bench_hbm_dataset(dp):
     dur = time.perf_counter() - start
     e_kxx = float(np.asarray(jax.device_get(m["e_kxx"]))[-1])
     steps_per_sec = n_calls * SCAN_K / dur
-    print(f"[bench] cifar32 hbm-dataset: {steps_per_sec:.2f} steps/s "
+    tag = "" if sampling == "uniform" else "_shuffled"
+    print(f"[bench] cifar32 hbm-dataset{tag}: {steps_per_sec:.2f} steps/s "
           f"e_kxx={e_kxx:.4f}", file=sys.stderr)
     return {
-        "metric": "cifar10_sngan_rep_b64_hbm_dataset_train_steps_per_sec_per_chip",
+        "metric": "cifar10_sngan_rep_b64_hbm_dataset"
+                  f"{tag}_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / BASELINES["cifar"], 3),
@@ -180,6 +187,8 @@ def main():
     print(json.dumps(flagship), flush=True)
     if not args.skip_hbm:
         print(json.dumps(bench_hbm_dataset(dp)), flush=True)
+        print(json.dumps(bench_hbm_dataset(dp, "shuffled_epochs")),
+              flush=True)
     for name in ("stl", "celeba", "lsun"):
         print(json.dumps(bench_arch(name, dp, args.bf16_moments)), flush=True)
     # repeat the flagship LAST for last-line parsers

@@ -306,6 +306,7 @@ def build_device_data_step(
     same_class: bool = False,
     class_table=None,
     class_counts=None,
+    sampling: str = "uniform",
 ) -> Callable:
     """K train steps per launch with batches gathered ON DEVICE from an
     HBM-resident dataset — zero per-step host->device data transfer.
@@ -316,9 +317,22 @@ def build_device_data_step(
     real-data training at ~60 (f32 feed) / ~220 (uint8 feed) steps/s vs
     ~460 steps/s compute; this path removes the data link entirely.
 
-    Sampling is uniform-with-replacement per step (the reference's
-    10k-element shuffle buffer over epoch repeats, input_func.py:905-916,
-    approximates the same stationary distribution).
+    ``sampling`` picks the batch strategy:
+
+    - ``"uniform"`` (default): uniform-with-replacement random gather per
+      step (the reference's 10k-element shuffle buffer over epoch
+      repeats, input_func.py:905-916, approximates the same stationary
+      distribution).
+    - ``"shuffled_epochs"``: contiguous ``dynamic_slice`` batches indexed
+      by ``ts.step`` — without-replacement epochs over a dataset the
+      CALLER re-permutes at epoch boundaries (``Agent.train_device_data``
+      does; tools/hbm_study.py: the random gather costs ~10% of the CIFAR
+      step, the slice costs nothing — 412 vs 459 steps/s — and epoch
+      semantics match the reference's shuffled-epoch pipeline more
+      closely than with-replacement). Rows beyond the last full batch of
+      an epoch are reshuffled into the next epoch's permutation.
+      Not combinable with ``same_class`` (class-grouped draws need the
+      gather path).
 
     Returns ``fn(ts, data_x, data_y, rng, do_dis, do_gen) ->
     (new_ts, new_rng, metrics)``; ``data_x`` is the full [N, H, W, C]
@@ -338,19 +352,40 @@ def build_device_data_step(
     """
     step = build_train_step(model, opt_dis, opt_gen)
 
+    assert sampling in ("uniform", "shuffled_epochs"), sampling
     if same_class:
         assert class_table is not None and class_counts is not None, (
             "same_class sampling needs same_class_tables(y, num_class)")
+        assert sampling == "uniform", (
+            "same_class batching needs the gather sampler; "
+            "sampling='shuffled_epochs' is not combinable with it")
 
     def _sampler(data_x, data_y, mesh, axis):
+        # every sampler takes (rng, step): step indexes shuffled-epoch
+        # slices; the uniform/gather samplers ignore it
         if mesh is None:
             n = data_x.shape[0]
+
+            if sampling == "shuffled_epochs":
+                n_batches = n // batch_size
+                assert n_batches >= 1, (n, batch_size)
+
+                def sample(rng, step_count):
+                    off = (step_count % n_batches) * batch_size
+                    x = jax.lax.dynamic_slice_in_dim(
+                        data_x, off, batch_size, axis=0)
+                    y = (None if data_y is None else
+                         jax.lax.dynamic_slice_in_dim(
+                             data_y, off, batch_size, axis=0))
+                    return {"x": x, "y": y}
+
+                return sample
 
             if same_class:
                 table = jnp.asarray(class_table)
                 counts = jnp.asarray(class_counts)
 
-                def sample(rng):
+                def sample(rng, step_count):
                     # whole batch from ONE uniformly drawn class
                     # (group_by_window semantics, input_func.py:905-916)
                     r_c, r_i = jax.random.split(rng)
@@ -366,7 +401,7 @@ def build_device_data_step(
 
                 return sample
 
-            def sample(rng):
+            def sample(rng, step_count):
                 idx = jax.random.randint(rng, (batch_size,), 0, n)
                 return {
                     "x": jnp.take(data_x, idx, axis=0),
@@ -419,7 +454,7 @@ def build_device_data_step(
                     out_specs=(P(axis), P(axis)),
                 )
 
-                def sample(rng):
+                def sample(rng, step_count):
                     x, y = smap(rng[None], data_x, tbl, cnt)
                     return {"x": x, "y": y}
             else:
@@ -429,7 +464,7 @@ def build_device_data_step(
                     out_specs=(P(axis), P(axis)),
                 )
 
-                def sample(rng):
+                def sample(rng, step_count):
                     x, y = smap(rng[None], data_x, data_y, tbl, cnt)
                     return {"x": x, "y": y}
 
@@ -441,13 +476,46 @@ def build_device_data_step(
             r = jax.random.fold_in(rng[0], dev)
             return jax.random.randint(r, (local_b,), 0, n_local)
 
+        if sampling == "shuffled_epochs":
+            # per-device contiguous slice of the LOCAL shard at the same
+            # epoch offset (each chip cycles its own rows; the caller
+            # re-permutes every shard at epoch boundaries). Zero gather,
+            # zero collectives.
+            def local_slice(step_arr, xs):
+                nb = xs.shape[0] // local_b
+                off = (step_arr[0] % nb) * local_b
+                return jax.lax.dynamic_slice_in_dim(xs, off, local_b, axis=0)
+
+            if data_y is None:
+                smap = shard_map(
+                    local_slice, mesh=mesh,
+                    in_specs=(P(None), P(axis)), out_specs=P(axis),
+                )
+
+                def sample(rng, step_count):
+                    return {"x": smap(jnp.reshape(step_count, (1,)), data_x),
+                            "y": None}
+            else:
+                smap = shard_map(
+                    lambda s, xs, ys: (local_slice(s, xs), local_slice(s, ys)),
+                    mesh=mesh,
+                    in_specs=(P(None), P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis)),
+                )
+
+                def sample(rng, step_count):
+                    x, y = smap(jnp.reshape(step_count, (1,)), data_x, data_y)
+                    return {"x": x, "y": y}
+
+            return sample
+
         if data_y is None:
             smap = shard_map(
                 lambda rng, xs: jnp.take(xs, local_idx(rng, xs.shape[0]), axis=0),
                 mesh=mesh, in_specs=(P(None), P(axis)), out_specs=P(axis),
             )
 
-            def sample(rng):
+            def sample(rng, step_count):
                 return {"x": smap(rng[None], data_x), "y": None}
         else:
             def local_sample(rng, xs, ys):
@@ -460,7 +528,7 @@ def build_device_data_step(
                 out_specs=(P(axis), P(axis)),
             )
 
-            def sample(rng):
+            def sample(rng, step_count):
                 x, y = smap(rng[None], data_x, data_y)
                 return {"x": x, "y": y}
 
@@ -478,7 +546,7 @@ def build_device_data_step(
         def body_core(carry, sample):
             ts, rng, avg = carry
             rng, r_idx = jax.random.split(rng)
-            batch = sample(r_idx)
+            batch = sample(r_idx, ts.step)
             if is_list:
                 dd = (ts.step % imbalanced[0] == 0).astype(jnp.float32)
                 dg = (ts.step % imbalanced[1] == 0).astype(jnp.float32)
@@ -502,6 +570,8 @@ def build_device_data_step(
                     (ts, rng, mmd_avg), None, length=num_steps)
                 return ts, rng, mmd_avg, metrics
 
+            multi_step_imb.sampler = (
+                lambda data_x, data_y=None: _sampler(data_x, data_y, mesh, axis))
             return multi_step_imb
 
         def multi_step(ts, data_x, data_y, rng, do_dis: Array, do_gen: Array):
@@ -510,7 +580,7 @@ def build_device_data_step(
             def body(carry, _):
                 ts, rng = carry
                 rng, r_idx = jax.random.split(rng)
-                batch = sample(r_idx)
+                batch = sample(r_idx, ts.step)
                 new_ts, metrics = step(ts, batch, do_dis, do_gen)
                 return (new_ts, rng), metrics
 
@@ -518,6 +588,10 @@ def build_device_data_step(
                 body, (ts, rng), None, length=num_steps)
             return final_ts, rng, metrics
 
+        # exposed for tests: the exact batch-sampling closure the scan
+        # uses, as sample(rng, step) -> batch
+        multi_step.sampler = (
+            lambda data_x, data_y=None: _sampler(data_x, data_y, mesh, axis))
         return multi_step
 
     fn = make()

@@ -457,6 +457,7 @@ class Agent:
         seed: int = 0,
         sample_same_class: bool = False,
         dp: Optional[DataParallel] = None,
+        sampling: str = "uniform",
     ) -> TrainState:
         """Training loop over an HBM-resident dataset: ``data`` ({'x':
         [N,H,W,C] uint8 or f32, 'y': [N,1] or None}, e.g. from
@@ -478,7 +479,22 @@ class Agent:
         (assembled globally via make_array_from_process_local_data, like
         ``shard_batch``); ``sample_same_class`` is single-process-only
         through this facade — it needs the global label layout, so build
-        ``sharded_same_class_tables`` yourself there."""
+        ``sharded_same_class_tables`` yourself there.
+
+        ``sampling``: ``"uniform"`` (default; with-replacement random
+        gather) or ``"shuffled_epochs"`` — without-replacement epochs via
+        contiguous slices of the dataset, re-permuted here at every epoch
+        boundary (one HBM-local gather per epoch). Measured on a v5e
+        chip the slice sampler removes the whole random-gather cost:
+        CIFAR b64 412 -> 459 steps/s, i.e. real-data training at
+        synthetic-feed parity (tools/hbm_study.py; epoch semantics also
+        match the reference's shuffled-epoch pipeline more closely than
+        with-replacement). Permutations derive from ``seed`` and the
+        epoch number, so checkpoint resume replays them bitwise; a
+        boundary crossed mid-launch keeps the previous permutation for
+        the rest of that K-step window (still a far stronger shuffle
+        than the reference's 10k-element buffer). Single-process only;
+        not combinable with ``sample_same_class``."""
         from mmdgan_tpu.train.step import (
             build_device_data_step, same_class_tables,
             sharded_same_class_tables)
@@ -497,6 +513,17 @@ class Agent:
         assert dp is None or dp.model_axis is None, (
             "HBM-resident datasets are data-parallel only (the shard_map "
             "sampler shards rows over the data axis); use a 1-D mesh")
+        shuffled = sampling == "shuffled_epochs"
+        if shuffled:
+            assert not sample_same_class, (
+                "sampling='shuffled_epochs' is not combinable with "
+                "sample_same_class (class-grouped draws need the gather "
+                "sampler)")
+            assert nproc == 1, (
+                "sampling='shuffled_epochs' is single-process through "
+                "this facade (epoch re-permutation needs every process "
+                "to hold its rows); drive build_device_data_step "
+                "yourself for multi-process epoch shuffles")
         if nproc > 1:
             # data holds this PROCESS's local rows (like shard_batch);
             # same-class needs the global label layout no process has —
@@ -536,12 +563,13 @@ class Agent:
             mesh_key = None if dp is None else id(dp.mesh)
             cache_key = (id(model), id(opt_dis), id(opt_gen), num_steps,
                          batch_size, sample_same_class, ndev, table_key,
-                         mesh_key)
+                         mesh_key, sampling)
             if cache_key not in self._devdata_cache:
                 builder = build_device_data_step(
                     model, opt_dis, opt_gen, num_steps, batch_size,
                     same_class=sample_same_class,
-                    class_table=table, class_counts=counts)
+                    class_table=table, class_counts=counts,
+                    sampling=sampling)
                 if ndev > 1:
                     builder = builder.with_mesh(dp.mesh, axis=dp.axis)
                 self._devdata_cache[cache_key] = jax.jit(builder)
@@ -578,12 +606,89 @@ class Agent:
         t_true = jnp.ones(())
         start_step = int(jax.device_get(ts.step))
         start = time.time()
+
+        if shuffled:
+            # Epoch re-permutation for sampling='shuffled_epochs'. The
+            # layout for epoch e is orig[perm(e)] with perm(e) derived
+            # from (seed, e) alone — directly computable, so a resumed
+            # run replays the identical shuffles (no cumulative state).
+            # Applied incrementally as delta = inv(perm(prev)) o perm(e):
+            # one HBM-local take per epoch, no extra dataset copy held.
+            if ndev > 1:
+                ln = host_x.shape[0] // ndev
+
+                def _epoch_perm(e):
+                    # distinct stream per device shard
+                    return np.stack([
+                        np.random.RandomState(
+                            (seed * 1000003 + e * 641 + d * 7919)
+                            % (2**31 - 1)).permutation(ln)
+                        for d in range(ndev)])
+
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                _psh = NamedSharding(dp.mesh, P(dp.axis))
+                _apply = jax.jit(shard_map(
+                    lambda a, p: jnp.take(a, p[0], axis=0),
+                    mesh=dp.mesh,
+                    in_specs=(P(dp.axis), P(dp.axis)),
+                    out_specs=P(dp.axis)))
+
+                def _permute(arrs, delta):
+                    d = jax.device_put(delta.astype(np.int32), _psh)
+                    return [None if a is None else _apply(a, d)
+                            for a in arrs]
+
+                n_batches = ln // (batch_size // ndev)
+            else:
+                def _epoch_perm(e):
+                    return np.random.RandomState(
+                        (seed * 1000003 + e * 641)
+                        % (2**31 - 1)).permutation(host_x.shape[0])
+
+                _take = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
+
+                def _permute(arrs, delta):
+                    d = jnp.asarray(delta.astype(np.int32))
+                    return [None if a is None else _take(a, d)
+                            for a in arrs]
+
+                n_batches = host_x.shape[0] // batch_size
+            assert n_batches >= 1, (host_x.shape[0], batch_size)
+            perm_state = {"epoch": 0, "perm": None}  # None = identity
+
+            def _advance_epoch(e_now, arrs):
+                if e_now == perm_state["epoch"]:
+                    return arrs
+                prev = perm_state["perm"]
+                cur = None if e_now == 0 else _epoch_perm(e_now)
+                perm_state["epoch"], perm_state["perm"] = e_now, cur
+                if prev is None:
+                    delta = cur
+                else:
+                    inv = np.argsort(prev, axis=-1)
+                    if cur is None:
+                        delta = inv
+                    elif inv.ndim == 2:
+                        delta = np.take_along_axis(inv, cur, axis=-1)
+                    else:
+                        delta = inv[cur]
+                return arrs if delta is None else _permute(arrs, delta)
+
+            # resume mid-protocol: jump straight to this epoch's layout
+            data_x, data_y = _advance_epoch(
+                start_step // n_batches, [data_x, data_y])
+
         if max_step < k:
             k = max_step
             fn = get_fn(k)
         num_calls = max_step // k
         remainder = max_step - num_calls * k
         for call in range(num_calls):
+            if shuffled:
+                data_x, data_y = _advance_epoch(
+                    (start_step + call * k) // n_batches, [data_x, data_y])
             ts, rng, metrics = fn(ts, data_x, data_y, rng, t_true, t_true)
             gstep = start_step + (call + 1) * k
             if (
@@ -612,6 +717,10 @@ class Agent:
                               f"loss_dis {vals['loss_dis']:.4f} "
                               f"({speed:.2f} steps/s)")
         if remainder:
+            if shuffled:
+                data_x, data_y = _advance_epoch(
+                    (start_step + num_calls * k) // n_batches,
+                    [data_x, data_y])
             ts, rng, metrics = get_fn(remainder)(
                 ts, data_x, data_y, rng, t_true, t_true)
             jax.device_get(metrics["loss_gen"])

@@ -526,3 +526,51 @@ def test_shard_state_1d_replicates_and_2d_guards():
             None, None, None, None,
             {"x": np.zeros((8, 8, 8, 1), np.float32), "y": None},
             max_step=1, step_per_epoch=1, batch_size=4, dp=dp2)
+
+
+def test_shuffled_epochs_sampler_sharded_local_slices():
+    """Sharded shuffled_epochs sampling: each device slices its LOCAL
+    shard at the shared epoch offset — zero gather, zero collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    model = SNGan(PLAIN_ARCH, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    mesh = make_mesh(jax.devices()[:4])
+    builder = build_device_data_step(
+        model, opt_d, opt_g, num_steps=2, batch_size=8,
+        sampling="shuffled_epochs")
+    fn = builder.with_mesh(mesh)
+    data = jax.device_put(
+        np.arange(32, dtype=np.float32)[:, None, None, None]
+        * np.ones((1, 8, 8, 1), np.float32),
+        NamedSharding(mesh, P("data")))
+    sample = fn.sampler(data, None)
+    for s in range(5):  # includes one wrap (4 local batches per epoch)
+        b = sample(jax.random.PRNGKey(0), jnp.asarray(s))
+        got = np.asarray(b["x"])[:, 0, 0, 0].astype(int).tolist()
+        off = (s % 4) * 2
+        expect = [d * 8 + off + i for d in range(4) for i in range(2)]
+        assert got == expect, (s, got, expect)
+
+
+def test_train_device_data_shuffled_epochs_sharded(tmp_path):
+    """Facade run over a 4-device mesh with shuffled_epochs: per-shard
+    epoch re-permutation applies between launches; params stay finite."""
+    from mmdgan_tpu.train import init_train_state
+    from mmdgan_tpu.train.trainer import Agent
+
+    model = SNGan(PLAIN_ARCH, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
+    dp = DataParallel(make_mesh(jax.devices()[:4]))
+    agent = Agent("shuf_mesh", "t", output_dir=str(tmp_path),
+                  query_step=100, do_save=False, use_tensorboard=False)
+    data = {"x": np.random.RandomState(0).randint(
+        0, 256, size=(64, 8, 8, 1), dtype=np.uint8), "y": None}
+    ts = agent.train_device_data(
+        model, opt_d, opt_g, ts, data, max_step=12, step_per_epoch=4,
+        batch_size=16, steps_per_call=4, dp=dp, sampling="shuffled_epochs")
+    assert int(jax.device_get(ts.step)) == 12
+    leaves = jax.tree.leaves(jax.device_get(ts.params))
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -432,3 +432,51 @@ def test_train_device_data_cache_not_stale(tmp_path, key):
                             step_per_epoch=4, batch_size=8, steps_per_call=4,
                             sample_same_class=True)
     assert len(agent._devdata_cache) == n_compiled + 1
+
+
+def test_train_device_data_shuffled_epochs_resume_bitwise(tmp_path, key):
+    """shuffled_epochs facade: epoch permutations derive from (seed,
+    epoch) alone, so an interrupted run restored mid-protocol replays
+    the exact batch sequence — 8+8 steps across three epoch-permutation
+    boundaries equals 16 uninterrupted steps parameter-for-parameter."""
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.trainer import Agent
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": None, "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [8 * 8]}],
+    }
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    data = {"x": np.random.RandomState(0).randint(
+        0, 256, size=(64, 8, 8, 1), dtype=np.uint8), "y": None}
+    kw = dict(step_per_epoch=4, batch_size=16, steps_per_call=4,
+              sampling="shuffled_epochs")
+
+    def mkts(k=0):
+        return init_train_state(model, jax.random.PRNGKey(k), opt_d, opt_g)
+
+    a = Agent("shufA", "t", output_dir=str(tmp_path), query_step=100,
+              do_save=False, use_tensorboard=False)
+    ts_a = a.train_device_data(model, opt_d, opt_g, mkts(), data,
+                               max_step=16, **kw)
+    assert int(jax.device_get(ts_a.step)) == 16
+
+    b1 = Agent("shufB", "t", output_dir=str(tmp_path), query_step=100,
+               do_save=True, use_tensorboard=False)
+    b1.train_device_data(model, opt_d, opt_g, mkts(), data,
+                         max_step=8, **kw)
+    b2 = Agent("shufB", "t", output_dir=str(tmp_path), query_step=100,
+               do_save=False, use_tensorboard=False, load_ckpt=True)
+    ts_b = b2.train_device_data(model, opt_d, opt_g, mkts(99), data,
+                                max_step=8, **kw)
+    for va, vb in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
+                      jax.tree.leaves(jax.device_get(ts_b.params))):
+        np.testing.assert_array_equal(va, vb)
