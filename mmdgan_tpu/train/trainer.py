@@ -731,8 +731,9 @@ class Agent:
             imgs = np.asarray(jax.device_get(summary_image_fn(ts)))
             self.writer.images(final_step, "Ig", imgs)
         duration = time.time() - start
-        print(f"Training for {num_calls * k} steps took {duration:.3f} sec "
-              f"({num_calls * k / max(duration, 1e-9):.2f} steps/s).")
+        ran = num_calls * k + remainder
+        print(f"Training for {ran} steps took {duration:.3f} sec "
+              f"({ran / max(duration, 1e-9):.2f} steps/s).")
         self.writer.flush()
         return ts
 
