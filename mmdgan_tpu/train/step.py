@@ -29,6 +29,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from mmdgan_tpu.models.sngan import SNGan
@@ -597,6 +598,62 @@ def build_device_data_step(
     fn = make()
     fn.with_mesh = make
     return fn
+
+
+class EpochPermuter:
+    """Per-epoch dataset permutations for ``sampling='shuffled_epochs'``.
+
+    Non-cumulative scheme: the dataset layout for epoch ``e`` is
+    ``orig[perm(e)]`` with ``perm(e)`` computed by ``make_perm(e)`` from
+    the seed and epoch number alone — so a resumed run replays the exact
+    same shuffles (``perm(0)`` is the identity, represented as None).
+    Applied incrementally as ``delta = inv(perm(prev)) o perm(e)`` — one
+    device-side take per epoch, no second dataset copy held.
+
+    :param make_perm: e -> np int array ([n] or [ndev, local_n]) for e>=1
+    :param permute: (arrs, delta_np) -> permuted arrs (device-side take)
+    """
+
+    def __init__(self, make_perm: Callable, permute: Callable):
+        self._make = make_perm
+        self._permute = permute
+        self.epoch = 0
+        self._perm = None
+
+    @classmethod
+    def single_device(cls, n: int, seed: int) -> "EpochPermuter":
+        """Permuter over an unsharded [n, ...] HBM dataset (jnp.take)."""
+
+        def make_perm(e):
+            return np.random.RandomState(
+                (seed * 1000003 + e * 641) % (2**31 - 1)).permutation(n)
+
+        take = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
+
+        def permute(arrs, delta):
+            d = jnp.asarray(delta.astype(np.int32))
+            return [None if a is None else take(a, d) for a in arrs]
+
+        return cls(make_perm, permute)
+
+    def advance(self, e_now: int, arrs):
+        """Bring ``arrs`` to epoch ``e_now``'s layout (no-op if there)."""
+        if e_now == self.epoch:
+            return arrs
+        prev = self._perm
+        cur = None if e_now == 0 else self._make(e_now)
+        self.epoch, self._perm = e_now, cur
+        if prev is None:
+            delta = cur
+        else:
+            inv = np.argsort(prev, axis=-1)
+            if cur is None:
+                delta = inv
+            elif inv.ndim == 2:
+                delta = np.take_along_axis(inv, cur, axis=-1)
+            else:
+                delta = inv[cur]
+        return arrs if delta is None else self._permute(arrs, delta)
 
 
 def build_eval_step(model: SNGan) -> Callable:

@@ -496,7 +496,7 @@ class Agent:
         than the reference's 10k-element buffer). Single-process only;
         not combinable with ``sample_same_class``."""
         from mmdgan_tpu.train.step import (
-            build_device_data_step, same_class_tables,
+            EpochPermuter, build_device_data_step, same_class_tables,
             sharded_same_class_tables)
 
         if self.debug_mode is None:
@@ -641,43 +641,15 @@ class Agent:
                             for a in arrs]
 
                 n_batches = ln // (batch_size // ndev)
+                permuter = EpochPermuter(_epoch_perm, _permute)
             else:
-                def _epoch_perm(e):
-                    return np.random.RandomState(
-                        (seed * 1000003 + e * 641)
-                        % (2**31 - 1)).permutation(host_x.shape[0])
-
-                _take = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
-
-                def _permute(arrs, delta):
-                    d = jnp.asarray(delta.astype(np.int32))
-                    return [None if a is None else _take(a, d)
-                            for a in arrs]
-
                 n_batches = host_x.shape[0] // batch_size
+                permuter = EpochPermuter.single_device(
+                    host_x.shape[0], seed)
             assert n_batches >= 1, (host_x.shape[0], batch_size)
-            perm_state = {"epoch": 0, "perm": None}  # None = identity
-
-            def _advance_epoch(e_now, arrs):
-                if e_now == perm_state["epoch"]:
-                    return arrs
-                prev = perm_state["perm"]
-                cur = None if e_now == 0 else _epoch_perm(e_now)
-                perm_state["epoch"], perm_state["perm"] = e_now, cur
-                if prev is None:
-                    delta = cur
-                else:
-                    inv = np.argsort(prev, axis=-1)
-                    if cur is None:
-                        delta = inv
-                    elif inv.ndim == 2:
-                        delta = np.take_along_axis(inv, cur, axis=-1)
-                    else:
-                        delta = inv[cur]
-                return arrs if delta is None else _permute(arrs, delta)
 
             # resume mid-protocol: jump straight to this epoch's layout
-            data_x, data_y = _advance_epoch(
+            data_x, data_y = permuter.advance(
                 start_step // n_batches, [data_x, data_y])
 
         if max_step < k:
@@ -687,7 +659,7 @@ class Agent:
         remainder = max_step - num_calls * k
         for call in range(num_calls):
             if shuffled:
-                data_x, data_y = _advance_epoch(
+                data_x, data_y = permuter.advance(
                     (start_step + call * k) // n_batches, [data_x, data_y])
             ts, rng, metrics = fn(ts, data_x, data_y, rng, t_true, t_true)
             gstep = start_step + (call + 1) * k
@@ -718,7 +690,7 @@ class Agent:
                               f"({speed:.2f} steps/s)")
         if remainder:
             if shuffled:
-                data_x, data_y = _advance_epoch(
+                data_x, data_y = permuter.advance(
                     (start_step + num_calls * k) // n_batches,
                     [data_x, data_y])
             ts, rng, metrics = get_fn(remainder)(

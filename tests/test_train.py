@@ -570,3 +570,45 @@ def test_shuffled_epochs_sampler_semantics(key):
             same_class=True, class_table=np.zeros((2, 4), np.int32),
             class_counts=np.full((2,), 4, np.int32),
             sampling="shuffled_epochs")
+
+
+def test_epoch_permuter_incremental_composition():
+    """EpochPermuter applies per-epoch layouts INCREMENTALLY (delta =
+    inv(perm(prev)) o perm(e)) yet must land on the same layout as
+    applying perm(e) to the ORIGINAL data — including when a resume
+    jumps over several epochs, and for the 2-D per-device-shard form."""
+    from mmdgan_tpu.train.step import EpochPermuter
+
+    for shape in [(24,), (4, 6)]:  # 1-D global, 2-D per-device rows
+        n = shape[-1]
+        orig = np.arange(np.prod(shape) * 3.0).reshape(*shape, 3)
+
+        def make_perm(e, shape=shape, n=n):
+            # deterministic in e alone — the contract resume relies on
+            rs = np.random.RandomState(e * 101 + 7)
+            if len(shape) == 1:
+                return rs.permutation(n)
+            return np.stack([rs.permutation(n) for _ in range(shape[0])])
+
+        def permute(arrs, delta):
+            return [None if a is None else
+                    np.take_along_axis(a, delta[..., None], axis=-2)
+                    for a in arrs]
+
+        def direct(e):
+            if e == 0:
+                return orig
+            p = make_perm(e)
+            return np.take_along_axis(orig, p[..., None], axis=-2)
+
+        pm = EpochPermuter(make_perm, permute)
+        arrs = [orig, None]
+        for e in [0, 1, 2, 2, 4, 7]:  # incl. a no-op and a multi-epoch jump
+            arrs = pm.advance(e, arrs)
+            np.testing.assert_array_equal(arrs[0], direct(e))
+            assert arrs[1] is None
+
+        # a fresh permuter resuming straight at epoch 7 agrees bitwise
+        pm2 = EpochPermuter(make_perm, permute)
+        resumed = pm2.advance(7, [orig, None])
+        np.testing.assert_array_equal(resumed[0], arrs[0])

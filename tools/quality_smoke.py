@@ -233,6 +233,15 @@ def main():
                    help="uint8 mirrors the real tfrecord path (quantized, "
                         "device-decoded); f32 stores the raw continuous "
                         "values (4x HBM, no quantization)")
+    p.add_argument("--sampling", default="uniform",
+                   choices=["uniform", "shuffled_epochs"],
+                   help="HBM-dataset batch draw: 'uniform' gathers 64 "
+                        "random rows per step; 'shuffled_epochs' walks "
+                        "contiguous slices of a per-epoch permuted "
+                        "dataset (without-replacement epochs at the "
+                        "synthetic-feed ceiling, "
+                        "docs/hbm_sampling_study.md). Needs "
+                        "--device-dataset; not with --num-class.")
     p.add_argument("--num-class", type=int, default=0,
                    help=">=2: class-conditional run — cbn generator + "
                         "dck score head, class-colored blobs, "
@@ -309,9 +318,11 @@ def main():
             table, counts = same_class_tables(host_y, args.num_class)
             sc_kwargs = dict(same_class=True, class_table=table,
                              class_counts=counts)
+        if args.sampling != "uniform":
+            assert not cond, "--sampling shuffled_epochs is unconditional"
         step = jax.jit(build_device_data_step(
             model, opt_d, opt_g, num_steps=args.scan_k,
-            batch_size=args.batch, **sc_kwargs))
+            batch_size=args.batch, sampling=args.sampling, **sc_kwargs))
         # the held-out "real" pool sees the same uint8 quantization the
         # training path decodes on device
         real_iter = iter(
@@ -387,12 +398,23 @@ def main():
     write_sprite_wrapper(g[:64], (8, 8), "samples", args.out, "_step0")
 
     done = int(jax.device_get(ts.step))
+    permuter = None
+    if data_x is not None and args.sampling == "shuffled_epochs":
+        from mmdgan_tpu.train.step import EpochPermuter
+
+        n_batches = data_x.shape[0] // args.batch
+        permuter = EpochPermuter.single_device(data_x.shape[0], seed=0)
+        # resume-safe: jump straight to this epoch's layout
+        data_x, data_y = permuter.advance(done // n_batches, [data_x, data_y])
     start = time.time()
     start_step = done
     fid = fid0
     rng_dev = jax.random.PRNGKey(start_step + 1)
     while done < args.steps:
         if data_x is not None:
+            if permuter is not None:
+                data_x, data_y = permuter.advance(
+                    done // n_batches, [data_x, data_y])
             ts, rng_dev, m = step(ts, data_x, data_y, rng_dev, t_flag, t_flag)
         else:
             host = [next(data) for _ in range(args.scan_k)]
