@@ -21,29 +21,48 @@ def export_generator(
     net_state,
     batch_size: int,
     out_path: str,
+    platforms=("cpu", "tpu"),
 ) -> str:
     """Serialize ``generate(z) -> images`` with the weights closed over.
+
+    Conditional models (``model.num_class >= 2``) export a two-input
+    entry point ``generate(z, y) -> images`` with ``y`` an int32
+    ``[batch, 1]`` class-label column (the cbn/cck conditioning input);
+    unconditional models keep the single-input ``generate(z)``.
 
     :param model: SNGan instance
     :param params / net_state: trained (host or device) pytrees
     :param batch_size: static batch size of the exported entry point
+    :param platforms: lowering targets baked into the artifact. An
+        exported function REFUSES to run on a platform it was not
+        lowered for, so the default covers both cpu and tpu — export
+        on a CPU host, serve on a TPU chip (or vice versa). Pass a
+        single-element tuple to shave artifact size.
     :return: written file path
     """
     import jax
     import jax.numpy as jnp
 
-    host_params = jax.device_get(params)
-    host_state = jax.device_get(net_state)
+    # jnp constants, not host numpy: ops that index a weight by a traced
+    # label (cbn/cck) would call __array__ on the tracer otherwise
+    host_params = jax.tree.map(jnp.asarray, jax.device_get(params))
+    host_state = jax.tree.map(jnp.asarray, jax.device_get(net_state))
+    conditional = getattr(model, "num_class", 0) >= 2
 
-    def generate(z):
+    def generate(z, y=None):
         gen_out, _ = model.Gen.apply(
-            host_params["gen"], host_state["gen"], {"x": z, "y": None},
+            host_params["gen"], host_state["gen"], {"x": z, "y": y},
             train=False)
         return jnp.clip(gen_out["x"], -1.0, 1.0)
 
-    exported = jax.export.export(jax.jit(generate))(
-        jax.ShapeDtypeStruct((batch_size, model.code_size), jnp.float32)
-    )
+    z_spec = jax.ShapeDtypeStruct((batch_size, model.code_size), jnp.float32)
+    export_fn = jax.export.export(jax.jit(generate),
+                                  platforms=list(platforms))
+    if conditional:
+        y_spec = jax.ShapeDtypeStruct((batch_size, 1), jnp.int32)
+        exported = export_fn(z_spec, y_spec)
+    else:
+        exported = export_fn(z_spec)
     blob = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "wb") as f:
@@ -52,7 +71,8 @@ def export_generator(
 
 
 def load_exported(path: str):
-    """Load a serialized artifact; returns a callable ``fn(z) -> images``."""
+    """Load a serialized artifact; returns a callable ``fn(z) -> images``
+    (``fn(z, y)`` for conditional exports)."""
     import jax
 
     with open(path, "rb") as f:

@@ -142,3 +142,40 @@ def test_export_generator_roundtrip(tmp_path, key):
     # bf16 conv compute gives ~1e-3 level differences
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-2, atol=5e-3)
+
+
+def test_export_generator_conditional_roundtrip(tmp_path, key):
+    """Conditional models export a two-input (z, y) entry point; class
+    conditioning survives the serialize/deserialize round-trip."""
+    import jax.numpy as jnp
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.utils.export import export_generator, load_exported
+
+    arch = {
+        "input": [(1, 8, 8)], "code": [(16, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+             "act_nm": None, "out_reshape": [8, 4, 4]},
+            {"name": "l2", "out": 4, "op": "tc", "act": "relu",
+             "act_nm": "cbn", "kernel": 4, "strides": 2},
+            {"name": "l3", "out": 1, "act": "tanh"},
+        ],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "w_nm": "s",
+             "in_reshape": [64]},
+        ],
+    }
+    model = SNGan(arch, num_class=4, loss_type="rep")
+    params, state, _ = model.init(key)
+    path = export_generator(model, params, state, batch_size=3,
+                            out_path=str(tmp_path / "cgen.stablehlo"))
+    fn = load_exported(path)
+    z = jax.random.normal(key, (3, 16))
+    y = jnp.asarray([[0], [2], [3]], jnp.int32)
+    out = fn(z, y)
+    expect = model.generate(params, state, code_batch={"x": z, "y": y})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-2, atol=5e-3)
+    # the labels matter: a different class column changes the output
+    out2 = fn(z, jnp.asarray([[1], [1], [1]], jnp.int32))
+    assert not np.allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
