@@ -210,6 +210,12 @@ def run_experiment(
 
     code_x = np.random.RandomState(args.seed).randn(400, model.code_size).astype(np.float32)
 
+    if args.sampling != "uniform":
+        assert args.device_dataset and not args.synthetic_data, (
+            "--sampling shuffled_epochs only applies to the HBM-resident "
+            "dataset path: pass --device-dataset (without "
+            "--synthetic-data), or the flag would be silently ignored")
+
     device_data = None
     if args.device_dataset and not args.synthetic_data:
         pipe = ReadTFRecords(
@@ -242,6 +248,11 @@ def run_experiment(
                 seed=args.seed + chunk,
                 sample_same_class=args.sample_same_class,
                 sampling=args.sampling,
+                # per-chunk seed varies the noise stream; the epoch
+                # permutation family must NOT change at chunk boundaries
+                # (an epoch straddling one would lose the
+                # without-replacement guarantee)
+                sampling_seed=args.seed,
             )
         else:
             ts = agent.train(

@@ -620,19 +620,53 @@ class EpochPermuter:
         self.epoch = 0
         self._perm = None
 
+    @staticmethod
+    def _perm_seed(seed: int, epoch: int, device: int = 0) -> int:
+        """The (seed, epoch[, device]) -> RandomState-seed derivation.
+        Single source of truth: single-device and sharded permuters must
+        stay bitwise-consistent or resumed runs replay different
+        shuffles than the documented deterministic contract."""
+        return (seed * 1000003 + epoch * 641 + device * 7919) % (2**31 - 1)
+
     @classmethod
     def single_device(cls, n: int, seed: int) -> "EpochPermuter":
         """Permuter over an unsharded [n, ...] HBM dataset (jnp.take)."""
 
         def make_perm(e):
             return np.random.RandomState(
-                (seed * 1000003 + e * 641) % (2**31 - 1)).permutation(n)
+                cls._perm_seed(seed, e)).permutation(n)
 
         take = jax.jit(lambda a, p: jnp.take(a, p, axis=0))
 
         def permute(arrs, delta):
             d = jnp.asarray(delta.astype(np.int32))
             return [None if a is None else take(a, d) for a in arrs]
+
+        return cls(make_perm, permute)
+
+    @classmethod
+    def sharded(cls, local_n: int, ndev: int, seed: int, mesh,
+                axis: str) -> "EpochPermuter":
+        """Permuter over a [ndev*local_n, ...] HBM dataset sharded over
+        ``axis``: an independent permutation stream per device shard,
+        applied locally via shard_map (no cross-device traffic)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def make_perm(e):
+            return np.stack([
+                np.random.RandomState(
+                    cls._perm_seed(seed, e, d)).permutation(local_n)
+                for d in range(ndev)])
+
+        psh = NamedSharding(mesh, P(axis))
+        apply_ = jax.jit(shard_map(
+            lambda a, p: jnp.take(a, p[0], axis=0),
+            mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)))
+
+        def permute(arrs, delta):
+            d = jax.device_put(delta.astype(np.int32), psh)
+            return [None if a is None else apply_(a, d) for a in arrs]
 
         return cls(make_perm, permute)
 

@@ -458,6 +458,7 @@ class Agent:
         sample_same_class: bool = False,
         dp: Optional[DataParallel] = None,
         sampling: str = "uniform",
+        sampling_seed: Optional[int] = None,
     ) -> TrainState:
         """Training loop over an HBM-resident dataset: ``data`` ({'x':
         [N,H,W,C] uint8 or f32, 'y': [N,1] or None}, e.g. from
@@ -489,8 +490,13 @@ class Agent:
         CIFAR b64 412 -> 459 steps/s, i.e. real-data training at
         synthetic-feed parity (tools/hbm_study.py; epoch semantics also
         match the reference's shuffled-epoch pipeline more closely than
-        with-replacement). Permutations derive from ``seed`` and the
-        epoch number, so checkpoint resume replays them bitwise; a
+        with-replacement). Permutations derive from ``sampling_seed``
+        (default: ``seed``) and the epoch number, so checkpoint resume
+        replays them bitwise — chunked callers that vary ``seed`` per
+        chunk (for distinct noise streams) must pass a FIXED
+        ``sampling_seed`` or an epoch straddling a chunk boundary
+        switches permutation families mid-epoch and loses the
+        without-replacement guarantee. A
         boundary crossed mid-launch keeps the previous permutation for
         the rest of that K-step window (still a far stronger shuffle
         than the reference's 10k-element buffer). Single-process only;
@@ -514,6 +520,8 @@ class Agent:
             "HBM-resident datasets are data-parallel only (the shard_map "
             "sampler shards rows over the data axis); use a 1-D mesh")
         shuffled = sampling == "shuffled_epochs"
+        if sampling_seed is None:
+            sampling_seed = seed
         if shuffled:
             assert not sample_same_class, (
                 "sampling='shuffled_epochs' is not combinable with "
@@ -610,42 +618,20 @@ class Agent:
         if shuffled:
             # Epoch re-permutation for sampling='shuffled_epochs'. The
             # layout for epoch e is orig[perm(e)] with perm(e) derived
-            # from (seed, e) alone — directly computable, so a resumed
-            # run replays the identical shuffles (no cumulative state).
-            # Applied incrementally as delta = inv(perm(prev)) o perm(e):
-            # one HBM-local take per epoch, no extra dataset copy held.
+            # from (sampling_seed, e) alone — directly computable, so a
+            # resumed run replays the identical shuffles (no cumulative
+            # state). Applied incrementally as
+            # delta = inv(perm(prev)) o perm(e): one HBM-local take per
+            # epoch, no extra dataset copy held.
             if ndev > 1:
                 ln = host_x.shape[0] // ndev
-
-                def _epoch_perm(e):
-                    # distinct stream per device shard
-                    return np.stack([
-                        np.random.RandomState(
-                            (seed * 1000003 + e * 641 + d * 7919)
-                            % (2**31 - 1)).permutation(ln)
-                        for d in range(ndev)])
-
-                from jax.experimental.shard_map import shard_map
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                _psh = NamedSharding(dp.mesh, P(dp.axis))
-                _apply = jax.jit(shard_map(
-                    lambda a, p: jnp.take(a, p[0], axis=0),
-                    mesh=dp.mesh,
-                    in_specs=(P(dp.axis), P(dp.axis)),
-                    out_specs=P(dp.axis)))
-
-                def _permute(arrs, delta):
-                    d = jax.device_put(delta.astype(np.int32), _psh)
-                    return [None if a is None else _apply(a, d)
-                            for a in arrs]
-
                 n_batches = ln // (batch_size // ndev)
-                permuter = EpochPermuter(_epoch_perm, _permute)
+                permuter = EpochPermuter.sharded(
+                    ln, ndev, sampling_seed, dp.mesh, dp.axis)
             else:
                 n_batches = host_x.shape[0] // batch_size
                 permuter = EpochPermuter.single_device(
-                    host_x.shape[0], seed)
+                    host_x.shape[0], sampling_seed)
             assert n_batches >= 1, (host_x.shape[0], batch_size)
 
             # resume mid-protocol: jump straight to this epoch's layout

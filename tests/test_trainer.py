@@ -480,3 +480,50 @@ def test_train_device_data_shuffled_epochs_resume_bitwise(tmp_path, key):
     for va, vb in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
                       jax.tree.leaves(jax.device_get(ts_b.params))):
         np.testing.assert_array_equal(va, vb)
+
+
+def test_train_device_data_sampling_seed_fixed_across_chunks(tmp_path):
+    """Chunked callers (experiments/runner.py) vary ``seed`` per chunk
+    for distinct noise streams; ``sampling_seed`` pins the epoch
+    permutation family so an epoch STRADDLING a chunk boundary keeps its
+    without-replacement guarantee. 8+8 steps with seed=0 then seed=1
+    (sampling_seed=0, boundary mid-epoch: 48 rows / batch 16 = 3
+    batches/epoch) must equal 16 uninterrupted steps with seed=0."""
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.trainer import Agent
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": None, "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [8 * 8]}],
+    }
+    model = SNGan(arch, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    data = {"x": np.random.RandomState(0).randint(
+        0, 256, size=(48, 8, 8, 1), dtype=np.uint8), "y": None}
+    kw = dict(step_per_epoch=3, batch_size=16, steps_per_call=4,
+              sampling="shuffled_epochs")
+
+    def mkts():
+        return init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
+
+    a = Agent("chunkA", "t", output_dir=str(tmp_path), query_step=100,
+              do_save=False, use_tensorboard=False)
+    ts_a = a.train_device_data(model, opt_d, opt_g, mkts(), data,
+                               max_step=16, seed=0, **kw)
+
+    b = Agent("chunkB", "t", output_dir=str(tmp_path), query_step=100,
+              do_save=False, use_tensorboard=False)
+    ts_b = b.train_device_data(model, opt_d, opt_g, mkts(), data,
+                               max_step=8, seed=0, sampling_seed=0, **kw)
+    ts_b = b.train_device_data(model, opt_d, opt_g, ts_b, data,
+                               max_step=8, seed=1, sampling_seed=0, **kw)
+    for va, vb in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
+                      jax.tree.leaves(jax.device_get(ts_b.params))):
+        np.testing.assert_array_equal(va, vb)

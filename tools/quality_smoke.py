@@ -320,6 +320,10 @@ def main():
                              class_counts=counts)
         if args.sampling != "uniform":
             assert not cond, "--sampling shuffled_epochs is unconditional"
+            assert data_x.shape[0] >= args.batch, (
+                f"--sampling shuffled_epochs needs at least one full "
+                f"batch in the device dataset (rows={data_x.shape[0]} "
+                f"< batch={args.batch})")
         step = jax.jit(build_device_data_step(
             model, opt_d, opt_g, num_steps=args.scan_k,
             batch_size=args.batch, sampling=args.sampling, **sc_kwargs))
@@ -399,6 +403,9 @@ def main():
 
     done = int(jax.device_get(ts.step))
     permuter = None
+    if args.sampling != "uniform" and data_x is None:
+        raise SystemExit("--sampling shuffled_epochs needs "
+                         "--device-dataset (HBM-resident path)")
     if data_x is not None and args.sampling == "shuffled_epochs":
         from mmdgan_tpu.train.step import EpochPermuter
 

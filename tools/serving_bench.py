@@ -45,14 +45,22 @@ def _model(arch_name):
     return SNGan(fn(), num_class=0, loss_type="rep")
 
 
+def _fence(out):
+    # Fetch ONE element as the completion fence: device_get of the full
+    # image batch would move megabytes over the ~0.08 GB/s tunnel inside
+    # the timed window (15-20% throughput bias at 64x64 b1024). bench.py
+    # fences on a scalar metric for the same reason.
+    float(np.asarray(jax.device_get(out[(0,) * out.ndim])))
+
+
 def _measure(call, z):
     for _ in range(WARMUP):
         out = call(z)
-    float(np.asarray(jax.device_get(out)).ravel()[0])
+    _fence(out)
     start = time.perf_counter()
     for _ in range(CALLS):
         out = call(z)
-    float(np.asarray(jax.device_get(out)).ravel()[0])
+    _fence(out)
     return CALLS * z.shape[0] / (time.perf_counter() - start)
 
 
