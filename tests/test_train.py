@@ -319,6 +319,7 @@ def test_graft_dryrun_multichip_subprocess_like_driver():
     assert "conditional cbn+dck ok" in proc.stdout
     assert "rmb_gp second-order ok" in proc.stdout
     assert "2-D data x model mesh (4,2) ok" in proc.stdout
+    assert "sharded serving ok" in proc.stdout
 
 
 @pytest.mark.parametrize("loss_type", [
