@@ -92,6 +92,12 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--param-hist-step", type=int, default=0,
                    help="write per-variable parameter histograms every N "
                         "steps (host-side fetch; 0 = off)")
+    p.add_argument("--compilation-cache", default="", metavar="DIR",
+                   help="persistent XLA compilation cache directory: a "
+                        "restarted process (resume / next chunk / serving "
+                        "worker) skips recompiling the train step "
+                        "(measured 5x faster restart compiles on the v5e; "
+                        "utils/compilation_cache.py)")
     return p
 
 
@@ -124,6 +130,12 @@ def run_experiment(
     if args.inception_pb:
         cfg = cfg.with_updates(inception_npz=args.inception_pb)
     set_config(cfg)
+
+    if args.compilation_cache:
+        from mmdgan_tpu.utils.compilation_cache import enable_compilation_cache
+
+        print(f"Compilation cache: "
+              f"{enable_compilation_cache(args.compilation_cache)}")
 
     c, h, w = input_chw
     loss_type = args.loss

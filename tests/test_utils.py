@@ -179,3 +179,48 @@ def test_export_generator_conditional_roundtrip(tmp_path, key):
     # the labels matter: a different class column changes the output
     out2 = fn(z, jnp.asarray([[1], [1], [1]], jnp.int32))
     assert not np.allclose(np.asarray(out), np.asarray(out2), atol=1e-4)
+
+
+def test_compilation_cache_persists_and_hits(tmp_path):
+    """enable_compilation_cache: entries land on disk and a FRESH process
+    compiling the same function loads from the cache (observed via jax's
+    cache-hit logging) instead of recompiling."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import sys, logging
+sys.path.insert(0, %r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mmdgan_tpu.utils.compilation_cache import enable_compilation_cache
+enable_compilation_cache(%r, min_compile_seconds=0.0)
+logging.basicConfig(level=logging.DEBUG)
+logging.getLogger("jax._src.compilation_cache").setLevel(logging.DEBUG)
+import jax.numpy as jnp
+import numpy as np
+
+def f(x):
+    return (jnp.sin(x) @ x.T).sum()
+
+out = jax.jit(f)(jnp.arange(64.0).reshape(8, 8))
+assert np.isfinite(float(out))
+print("OK", float(out))
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = str(tmp_path / "jaxcache")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+
+    r1 = subprocess.run([_sys.executable, "-c", code % (repo, cache)],
+                        capture_output=True, text=True, timeout=300, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    entries = [f for _, _, fs in os.walk(cache) for f in fs]
+    assert entries, "no cache entries written"
+
+    r2 = subprocess.run([_sys.executable, "-c", code % (repo, cache)],
+                        capture_output=True, text=True, timeout=300, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r1.stdout.strip() == r2.stdout.strip()
+    assert "cache hit" in (r2.stderr + r2.stdout).lower(), (
+        "second process did not report a compilation-cache hit:\n"
+        + r2.stderr[-2000:])
