@@ -42,6 +42,51 @@ from mmdgan_tpu.utils.summary import MetricWriter
 LOSS_DIVERGENCE_BOUND = 30000.0  # graph_func.py:962
 
 
+class _PreemptionGuard:
+    """Scoped SIGTERM handler for training loops.
+
+    TPU jobs get evicted with SIGTERM (spot/preemptible instances, pod
+    maintenance). Inside the guard, SIGTERM sets ``requested`` instead of
+    killing the process, so the loop can finish the in-flight step
+    window, checkpoint, and return the TrainState cleanly — re-running
+    with ``load_ckpt=True`` resumes bitwise (the reference could only
+    checkpoint on NaN/divergence, graph_func.py:948-973; eviction lost
+    up to a full 12.5k-step chunk).
+
+    Installs only in the main thread (signals are main-thread-only);
+    elsewhere it is a no-op and ``requested`` stays False. The previous
+    handler is restored on exit, and re-raised-at-exit semantics are NOT
+    used — callers decide what a clean stop means.
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.requested = False
+        self._enabled = enabled
+        self._prev = None
+        self._installed = False
+
+    def __enter__(self):
+        import signal
+        import threading
+
+        if self._enabled and threading.current_thread() is threading.main_thread():
+            def _handler(signum, frame):
+                self.requested = True
+                print("Agent: SIGTERM received — checkpointing at the "
+                      "next step-window boundary.", flush=True)
+
+            self._prev = signal.signal(signal.SIGTERM, _handler)
+            self._installed = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._installed:
+            import signal
+
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
+
 def split_host_metrics(metrics_host: Dict, take_last: bool):
     """Split a ``device_get``'d step-metrics dict into (scalars, hists).
 
@@ -76,13 +121,20 @@ class Agent:
         use_tensorboard: bool = True,
         max_to_keep: int = 2,
         param_hist_step: int = 0,
+        handle_preemption: bool = True,
     ):
         """``param_hist_step``: write per-variable parameter histograms
         every N steps (the reference's tf.summary.histogram over all
         variables, my_sngan.py:309-313). Default 0 = off: fetching the
         full parameter tree through a tunneled host link costs ~0.1 s per
         query, a real tax at 400+ steps/s; grad/param norms and the loss
-        internals remain always-on."""
+        internals remain always-on.
+
+        ``handle_preemption``: treat SIGTERM as a graceful-stop request
+        during training loops — finish the in-flight step window, save a
+        checkpoint, return the TrainState (``_PreemptionGuard``). Re-run
+        with ``load_ckpt=True`` to resume. False restores default signal
+        semantics (process dies, losing work since the last save)."""
         self.filename = filename
         self.sub_folder = sub_folder
         self.load_ckpt = load_ckpt
@@ -101,6 +153,7 @@ class Agent:
         self._ckpt_mgr = None
         self._max_to_keep = max_to_keep
         self.param_hist_step = int(param_hist_step)
+        self.handle_preemption = bool(handle_preemption)
 
     # ------------------------------------------------------------------
     # summaries
@@ -253,57 +306,60 @@ class Agent:
         start_step = int(jax.device_get(ts.step))
 
         device_it = dp.prefetch(data_iter, size=2)
-        for local_step in range(max_step):
-            global_step = start_step + local_step
-            batch = next(device_it)
-            do_dis, do_gen = self._update_flags(global_step, mmd_average, host_rng)
+        with _PreemptionGuard(self.handle_preemption) as guard:
+            for local_step in range(max_step):
+                global_step = start_step + local_step
+                batch = next(device_it)
+                do_dis, do_gen = self._update_flags(global_step, mmd_average, host_rng)
 
-            if (
-                self.do_trace
-                and not trace_started
-                and local_step == max_step - 5
-            ):
-                jax.profiler.start_trace(os.path.join(self.summary_folder, "trace"))
-                trace_started = True
+                if (
+                    self.do_trace
+                    and not trace_started
+                    and local_step == max_step - 5
+                ):
+                    jax.profiler.start_trace(os.path.join(self.summary_folder, "trace"))
+                    trace_started = True
 
-            ts, metrics = step_fn(
-                ts, batch, jnp.asarray(do_dis), jnp.asarray(do_gen)
-            )
-            pending.append((global_step + 1, metrics))
+                ts, metrics = step_fn(
+                    ts, batch, jnp.asarray(do_dis), jnp.asarray(do_gen)
+                )
+                pending.append((global_step + 1, metrics))
 
-            sync_now = (
-                (global_step + 1) % self.nan_check_step == 0
-                or (global_step + 1) % self.query_step == 0
-                or local_step == max_step - 1
-                or self.imbalanced_update == "dynamic"
-            )
-            if sync_now:
-                for s, m in pending[-1:]:
-                    vals, hists = split_host_metrics(
-                        jax.device_get(m), take_last=False)
-                    loss_vals = [vals["loss_gen"], vals["loss_dis"]]
-                    mmd_average = 0.99 * mmd_average + 0.01 * vals["loss_gen"]
-                    if any(np.isnan(loss_vals)):
-                        self._abnormal_save(ts, s, vals)
-                        raise FloatingPointError(
-                            f"Model diverged with loss = {loss_vals} at step {s}"
-                        )
-                    if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
-                        self._abnormal_save(ts, s, vals)
-                        warnings.warn("Training stopped early as loss diverged.")
-                        return ts
-                    if (s % self.query_step == 0) or local_step == max_step - 1:
-                        self._write_query(s, vals, hists, ts)
-                        if self.print_loss or force_print:
-                            epoch = (s - 1) // max(step_per_epoch, 1)
-                            speed = (local_step + 1) / (time.time() - start)
-                            print(
-                                f"global step {s} epoch {epoch}: "
-                                f"loss_gen {vals['loss_gen']:.4f} "
-                                f"loss_dis {vals['loss_dis']:.4f} "
-                                f"({speed:.2f} steps/s)"
+                sync_now = (
+                    (global_step + 1) % self.nan_check_step == 0
+                    or (global_step + 1) % self.query_step == 0
+                    or local_step == max_step - 1
+                    or self.imbalanced_update == "dynamic"
+                )
+                if sync_now:
+                    for s, m in pending[-1:]:
+                        vals, hists = split_host_metrics(
+                            jax.device_get(m), take_last=False)
+                        loss_vals = [vals["loss_gen"], vals["loss_dis"]]
+                        mmd_average = 0.99 * mmd_average + 0.01 * vals["loss_gen"]
+                        if any(np.isnan(loss_vals)):
+                            self._abnormal_save(ts, s, vals)
+                            raise FloatingPointError(
+                                f"Model diverged with loss = {loss_vals} at step {s}"
                             )
-                pending.clear()
+                        if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
+                            self._abnormal_save(ts, s, vals)
+                            warnings.warn("Training stopped early as loss diverged.")
+                            return ts
+                        if (s % self.query_step == 0) or local_step == max_step - 1:
+                            self._write_query(s, vals, hists, ts)
+                            if self.print_loss or force_print:
+                                epoch = (s - 1) // max(step_per_epoch, 1)
+                                speed = (local_step + 1) / (time.time() - start)
+                                print(
+                                    f"global step {s} epoch {epoch}: "
+                                    f"loss_gen {vals['loss_gen']:.4f} "
+                                    f"loss_dis {vals['loss_dis']:.4f} "
+                                    f"({speed:.2f} steps/s)"
+                                )
+                    pending.clear()
+                if guard.requested:
+                    break
 
         if trace_started:
             jax.device_get(ts.step)  # drain the queue before stopping trace
@@ -374,44 +430,47 @@ class Agent:
                 }
 
         device_it = dp.prefetch(stacked_host_batches(), size=2, multi=True)
-        for call in range(num_calls):
-            batches = next(device_it)
-            if iu is None:
-                ts, metrics = step_fn(ts, batches, t_true, t_true)
-            else:
-                ts, sched_rng, mmd_avg, metrics = step_fn(
-                    ts, batches, sched_rng, mmd_avg)
-            gstep = start_step + (call + 1) * k
-            if (
-                gstep % self.query_step < k
-                or gstep // self.nan_check_step != (gstep - k) // self.nan_check_step
-                or call == num_calls - 1
-            ):
-                vals, hists = split_host_metrics(
-                    jax.device_get(metrics), take_last=True)
-                loss_vals = [vals["loss_gen"], vals["loss_dis"]]
-                if any(np.isnan(loss_vals)):
-                    self._abnormal_save(ts, gstep, vals)
-                    raise FloatingPointError(
-                        f"Model diverged with loss = {loss_vals} at step {gstep}")
-                if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
-                    self._abnormal_save(ts, gstep, vals)
-                    warnings.warn("Training stopped early as loss diverged.")
-                    return ts
-                if gstep % self.query_step < k or call == num_calls - 1:
-                    self._write_query(gstep, vals, hists, ts)
-                    if self.print_loss or force_print:
-                        epoch = (gstep - 1) // max(step_per_epoch, 1)
-                        speed = (call + 1) * k / (time.time() - start)
-                        print(f"global step {gstep} epoch {epoch}: "
-                              f"loss_gen {vals['loss_gen']:.4f} "
-                              f"loss_dis {vals['loss_dis']:.4f} "
-                              f"({speed:.2f} steps/s)")
+        with _PreemptionGuard(self.handle_preemption) as guard:
+            for call in range(num_calls):
+                batches = next(device_it)
+                if iu is None:
+                    ts, metrics = step_fn(ts, batches, t_true, t_true)
+                else:
+                    ts, sched_rng, mmd_avg, metrics = step_fn(
+                        ts, batches, sched_rng, mmd_avg)
+                gstep = start_step + (call + 1) * k
+                if (
+                    gstep % self.query_step < k
+                    or gstep // self.nan_check_step != (gstep - k) // self.nan_check_step
+                    or call == num_calls - 1
+                ):
+                    vals, hists = split_host_metrics(
+                        jax.device_get(metrics), take_last=True)
+                    loss_vals = [vals["loss_gen"], vals["loss_dis"]]
+                    if any(np.isnan(loss_vals)):
+                        self._abnormal_save(ts, gstep, vals)
+                        raise FloatingPointError(
+                            f"Model diverged with loss = {loss_vals} at step {gstep}")
+                    if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
+                        self._abnormal_save(ts, gstep, vals)
+                        warnings.warn("Training stopped early as loss diverged.")
+                        return ts
+                    if gstep % self.query_step < k or call == num_calls - 1:
+                        self._write_query(gstep, vals, hists, ts)
+                        if self.print_loss or force_print:
+                            epoch = (gstep - 1) // max(step_per_epoch, 1)
+                            speed = (call + 1) * k / (time.time() - start)
+                            print(f"global step {gstep} epoch {epoch}: "
+                                  f"loss_gen {vals['loss_gen']:.4f} "
+                                  f"loss_dis {vals['loss_dis']:.4f} "
+                                  f"({speed:.2f} steps/s)")
+                if guard.requested:
+                    break
         # trailing steps below one scan window run singly. Source them
         # from the stacked device iterator, NOT next(data_it): the
         # prefetch producer thread shares that generator and a direct
         # pull here would race it ("generator already executing").
-        if remainder:
+        if remainder and not guard.requested:
             single = dp.compile_step(train_step)
             host_rng = np.random.RandomState(start_step + 12345)
             for i in range(remainder):
@@ -643,38 +702,41 @@ class Agent:
             fn = get_fn(k)
         num_calls = max_step // k
         remainder = max_step - num_calls * k
-        for call in range(num_calls):
-            if shuffled:
-                data_x, data_y = permuter.advance(
-                    (start_step + call * k) // n_batches, [data_x, data_y])
-            ts, rng, metrics = fn(ts, data_x, data_y, rng, t_true, t_true)
-            gstep = start_step + (call + 1) * k
-            if (
-                gstep % self.query_step < k
-                or gstep // self.nan_check_step != (gstep - k) // self.nan_check_step
-                or call == num_calls - 1
-            ):
-                vals, hists = split_host_metrics(
-                    jax.device_get(metrics), take_last=True)
-                loss_vals = [vals["loss_gen"], vals["loss_dis"]]
-                if any(np.isnan(loss_vals)):
-                    self._abnormal_save(ts, gstep, vals)
-                    raise FloatingPointError(
-                        f"Model diverged with loss = {loss_vals} at step {gstep}")
-                if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
-                    self._abnormal_save(ts, gstep, vals)
-                    warnings.warn("Training stopped early as loss diverged.")
-                    return ts
-                if gstep % self.query_step < k or call == num_calls - 1:
-                    self._write_query(gstep, vals, hists, ts)
-                    if self.print_loss or force_print:
-                        epoch = (gstep - 1) // max(step_per_epoch, 1)
-                        speed = (call + 1) * k / (time.time() - start)
-                        print(f"global step {gstep} epoch {epoch}: "
-                              f"loss_gen {vals['loss_gen']:.4f} "
-                              f"loss_dis {vals['loss_dis']:.4f} "
-                              f"({speed:.2f} steps/s)")
-        if remainder:
+        with _PreemptionGuard(self.handle_preemption) as guard:
+            for call in range(num_calls):
+                if shuffled:
+                    data_x, data_y = permuter.advance(
+                        (start_step + call * k) // n_batches, [data_x, data_y])
+                ts, rng, metrics = fn(ts, data_x, data_y, rng, t_true, t_true)
+                gstep = start_step + (call + 1) * k
+                if (
+                    gstep % self.query_step < k
+                    or gstep // self.nan_check_step != (gstep - k) // self.nan_check_step
+                    or call == num_calls - 1
+                ):
+                    vals, hists = split_host_metrics(
+                        jax.device_get(metrics), take_last=True)
+                    loss_vals = [vals["loss_gen"], vals["loss_dis"]]
+                    if any(np.isnan(loss_vals)):
+                        self._abnormal_save(ts, gstep, vals)
+                        raise FloatingPointError(
+                            f"Model diverged with loss = {loss_vals} at step {gstep}")
+                    if any(np.greater(loss_vals, LOSS_DIVERGENCE_BOUND)):
+                        self._abnormal_save(ts, gstep, vals)
+                        warnings.warn("Training stopped early as loss diverged.")
+                        return ts
+                    if gstep % self.query_step < k or call == num_calls - 1:
+                        self._write_query(gstep, vals, hists, ts)
+                        if self.print_loss or force_print:
+                            epoch = (gstep - 1) // max(step_per_epoch, 1)
+                            speed = (call + 1) * k / (time.time() - start)
+                            print(f"global step {gstep} epoch {epoch}: "
+                                  f"loss_gen {vals['loss_gen']:.4f} "
+                                  f"loss_dis {vals['loss_dis']:.4f} "
+                                  f"({speed:.2f} steps/s)")
+                if guard.requested:
+                    break
+        if remainder and not guard.requested:
             if shuffled:
                 data_x, data_y = permuter.advance(
                     (start_step + num_calls * k) // n_batches,

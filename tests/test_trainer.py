@@ -527,3 +527,56 @@ def test_train_device_data_sampling_seed_fixed_across_chunks(tmp_path):
     for va, vb in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
                       jax.tree.leaves(jax.device_get(ts_b.params))):
         np.testing.assert_array_equal(va, vb)
+
+
+def test_sigterm_preemption_checkpoints(tmp_path):
+    """SIGTERM during training = graceful stop: the loop finishes its
+    step window, saves a checkpoint, and returns (TPU-eviction handling;
+    the reference lost everything since the last 12.5k-step chunk save).
+    A fresh Agent restores the preempted step and keeps training."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "preempt_worker.py")
+    proc = subprocess.Popen(
+        [_sys.executable, "-u", worker, str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        # wait until training is demonstrably under way
+        deadline = _time.time() + 300
+        for line in proc.stdout:
+            if "global step" in line or _time.time() > deadline:
+                break
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-3000:]
+    assert "SIGTERM received" in out, out[-3000:]
+    final = [l for l in out.splitlines() if l.startswith("FINAL")]
+    assert final, out[-3000:]
+    stopped_at = int(final[0].split()[1])
+    assert 0 < stopped_at < 200000
+    assert stopped_at % 8 == 0  # stopped on a step-window boundary
+
+    # resume from the preemption checkpoint and keep going
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.trainer import Agent
+    from tests.preempt_worker import ARCH
+
+    model = SNGan(ARCH, num_class=0, loss_type="rep")
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
+    data = {"x": np.random.RandomState(0).randint(
+        0, 256, size=(64, 8, 8, 1), dtype=np.uint8), "y": None}
+    agent = Agent("preempt", "t", output_dir=str(tmp_path), query_step=64,
+                  do_save=False, use_tensorboard=False, load_ckpt=True)
+    ts = agent.train_device_data(
+        model, opt_d, opt_g, ts, data, max_step=8, step_per_epoch=4,
+        batch_size=16, steps_per_call=8, seed=0)
+    assert int(jax.device_get(ts.step)) == stopped_at + 8
