@@ -169,23 +169,24 @@ class DataParallel:
 
         return jax.tree.map(put, tree, is_leaf=lambda v: v is None)
 
-    def _leaf_spec(self, x, min_size: int) -> P:
-        """Sharding rule for one state leaf under a 2-D mesh: shard the
-        last (output-channel / feature) dimension over the model axis when
-        it divides evenly and the leaf is big enough to be worth
-        splitting; replicate everything else (scalars, RNG keys, BN
-        statistics, tiny biases). The rule is a *placement* choice only —
-        the train step keeps global semantics, so XLA's SPMD partitioner
-        inserts whatever collectives are needed to preserve exact
-        single-device math regardless of which leaves shard."""
+    def _leaf_spec(self, x, min_size: int, axis: Optional[str] = None) -> P:
+        """Sharding rule for one state leaf: shard the last
+        (output-channel / feature) dimension over ``axis`` (default: the
+        model axis) when it divides evenly and the leaf is big enough to
+        be worth splitting; replicate everything else (scalars, RNG keys,
+        BN statistics, tiny biases). The rule is a *placement* choice
+        only — the train step keeps global semantics, so XLA's SPMD
+        partitioner inserts whatever collectives are needed to preserve
+        exact single-device math regardless of which leaves shard."""
+        axis = self.model_axis if axis is None else axis
         shape = getattr(x, "shape", ())
         size = int(np.prod(shape)) if shape else 1
-        m = self.mesh.shape[self.model_axis]
+        m = self.mesh.shape[axis]
         if shape and size >= min_size and shape[-1] % m == 0:
-            return P(*([None] * (len(shape) - 1) + [self.model_axis]))
+            return P(*([None] * (len(shape) - 1) + [axis]))
         return P()
 
-    def shard_state(self, tree, min_size: int = 2048):
+    def shard_state(self, tree, min_size: int = 2048, fsdp: bool = False):
         """Place the train state on the mesh.
 
         1-D mesh: replicate (the standard data-parallel layout). 2-D mesh
@@ -194,18 +195,34 @@ class DataParallel:
         parallel) training for models whose parameters/optimizer state
         outgrow a single chip's HBM. At reference scale (tens of MB of
         params) this is pure collective overhead; see docs/SCALING.md.
+
+        ``fsdp=True`` (1-D data mesh only): shard large state leaves over
+        the DATA axis instead of replicating — ZeRO-3-style memory
+        sharding: each chip stores 1/D of every big parameter/optimizer
+        leaf, and XLA's SPMD partitioner all-gathers weights where the
+        compute needs them and reduce-scatters the gradient/update. The
+        step keeps its global semantics, so the result is exactly the
+        replicated run's (mesh-equality tested); the trade is one
+        weights all-gather per step for a D-fold cut in state memory.
         """
-        if self.model_axis is None:
+        if fsdp:
+            assert self.model_axis is None, (
+                "fsdp shards over the data axis of a 1-D mesh; a 2-D "
+                "mesh already shards state over its model axis")
+            axis = self.axis
+        elif self.model_axis is None:
             return self.replicate(tree)
+        else:
+            axis = self.model_axis
         assert self.process_count == 1, (
-            "model-axis state sharding is single-process (one host / one "
-            "slice); use a 1-D mesh for multi-host data parallelism")
+            "state sharding via device_put is single-process (one host / "
+            "one slice); use replicate() for multi-host data parallelism")
 
         def put(x):
             if x is None:
                 return None
             x = jnp.asarray(x)
-            spec = self._leaf_spec(x, min_size)
+            spec = self._leaf_spec(x, min_size, axis)
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return jax.tree.map(put, tree, is_leaf=lambda v: v is None)

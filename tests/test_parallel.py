@@ -574,3 +574,63 @@ def test_train_device_data_shuffled_epochs_sharded(tmp_path):
     assert int(jax.device_get(ts.step)) == 12
     leaves = jax.tree.leaves(jax.device_get(ts.params))
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_mesh_equality_fsdp_data_axis():
+    """fsdp=True on a 1-D data mesh: large state leaves shard over the
+    DATA axis (ZeRO-3-style memory sharding; XLA all-gathers weights
+    into the compute and reduce-scatters updates). Global step semantics
+    are unchanged, so losses and post-step params must equal the
+    single-device run — and the rule must actually shard leaves."""
+    rng = np.random.RandomState(0)
+    batches = [
+        {"x": jnp.asarray(rng.randn(B, 8, 8, 1).astype(np.float32)),
+         "y": None}
+        for _ in range(2)
+    ]
+
+    def run(n_dev):
+        model = SNGan(CONV_ARCH, num_class=0, loss_type="rep",
+                      compute_dtype=jnp.float32)
+        opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+        ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+        if n_dev is None:
+            step = jax.jit(build_train_step(model, opt_d, opt_g))
+            dp = None
+        else:
+            dp = DataParallel(make_mesh(jax.devices()[:n_dev]))
+            ts = dp.shard_state(ts, min_size=1, fsdp=True)
+            from jax.tree_util import tree_flatten_with_path, keystr
+            _leaves, _ = tree_flatten_with_path(ts.params)
+            _sharded = [keystr(p) for p, l in _leaves
+                        if any(ax is not None for ax in l.sharding.spec)]
+            # at 8 devices only the out=8 leaves divide; at 2, most do
+            assert len(_sharded) >= 4, ("fsdp rule left everything "
+                                        f"replicated: {_sharded}")
+            step = dp.compile_step(build_train_step(model, opt_d, opt_g))
+        t = jnp.asarray(True)
+        losses = []
+        for b in batches:
+            bb = dp.shard_batch(b) if dp else b
+            ts, m = step(ts, bb, t, t)
+            losses.append((float(m["loss_gen"]), float(m["loss_dis"])))
+        return losses, jax.device_get(ts.params)
+
+    ref_losses, ref_params = run(None)
+    for n_dev in (2, 8):
+        losses, params = run(n_dev)
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(ref_losses), rtol=2e-4,
+            atol=1e-5, err_msg=f"fsdp {n_dev}-dev losses")
+        for a, b in zip(jax.tree.leaves(ref_params), jax.tree.leaves(params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6,
+                err_msg=f"fsdp {n_dev}-dev params")
+
+
+def test_fsdp_guards_2d_mesh():
+    from mmdgan_tpu.parallel.mesh import make_mesh_2d
+
+    dp2 = DataParallel(make_mesh_2d(2, 2))
+    with pytest.raises(AssertionError, match="fsdp shards over the data"):
+        dp2.shard_state({"w": jnp.ones((4, 4))}, fsdp=True)

@@ -320,6 +320,7 @@ def test_graft_dryrun_multichip_subprocess_like_driver():
     assert "rmb_gp second-order ok" in proc.stdout
     assert "2-D data x model mesh (4,2) ok" in proc.stdout
     assert "sharded serving ok" in proc.stdout
+    assert "fsdp state sharding ok" in proc.stdout
 
 
 @pytest.mark.parametrize("loss_type", [
