@@ -31,9 +31,16 @@ def main():
                    choices=["shell", "shell2", "star"])
     p.add_argument("--out", default="./figure1_out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a JAX backend (the env default here is a "
+                        "tunneled TPU; particle updates are tiny, cpu is "
+                        "fine and leaves the chip free)")
     args = p.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from mmdgan_tpu.data import SimData
