@@ -57,6 +57,23 @@ def init_train_state(
     )
 
 
+def _gated_update(do, opt, grads, params, opt_state):
+    """Gated optimizer application via elementwise select, NOT lax.cond:
+    a cond whose identity branch returns the carried params forces XLA to
+    copy every parameter buffer on each lax.scan iteration (the output
+    can't alias both branches), which showed up as ~35% of step time in
+    profiles. jnp.where with a scalar predicate fuses into the Adam
+    update kernels and aliases in place. The update is computed
+    unconditionally and discarded when gated off — the off path pays the
+    (bandwidth-bound) update cost, but the common always-on path runs
+    copy-free."""
+    updates, new_opt = opt.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    sel = lambda n, o: jnp.where(do > 0, n, o)
+    return (jax.tree.map(sel, new_params, params),
+            jax.tree.map(sel, new_opt, opt_state))
+
+
 def build_train_step(
     model: SNGan,
     opt_dis: optax.GradientTransformation,
@@ -106,25 +123,9 @@ def build_train_step(
         (grads_gen,) = gen_vjp(gen_x_ct)
         new_net_state = {"gen": gen_state, "dis": dis_state}
 
-        # Gated optimizer application via elementwise select, NOT lax.cond:
-        # a cond whose identity branch returns the carried params forces
-        # XLA to copy every parameter buffer on each lax.scan iteration
-        # (the output can't alias both branches), which showed up as ~35%
-        # of step time in profiles. jnp.where with a scalar predicate
-        # fuses into the Adam update kernels and aliases in place. The
-        # update is computed unconditionally and discarded when gated off
-        # — the off path pays the (bandwidth-bound) update cost, but the
-        # common always-on path runs copy-free.
-        def gated_update(do, opt, grads, params, opt_state):
-            updates, new_opt = opt.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            sel = lambda n, o: jnp.where(do > 0, n, o)
-            return (jax.tree.map(sel, new_params, params),
-                    jax.tree.map(sel, new_opt, opt_state))
-
-        params_dis, opt_state_dis = gated_update(
+        params_dis, opt_state_dis = _gated_update(
             do_dis, opt_dis, grads_dis, ts.params["dis"], ts.opt_state_dis)
-        params_gen, opt_state_gen = gated_update(
+        params_gen, opt_state_gen = _gated_update(
             do_gen, opt_gen, grads_gen, ts.params["gen"], ts.opt_state_gen)
 
         new_ts = TrainState(
@@ -146,6 +147,178 @@ def build_train_step(
             # histogram summaries, my_sngan.py:309-321, reduced to the
             # scalars that matter for divergence/vanishing diagnosis;
             # per-variable histograms are written host-side by the Agent)
+            metrics["grad_norm_dis"] = optax.global_norm(grads_dis)
+            metrics["grad_norm_gen"] = optax.global_norm(grads_gen)
+        return new_ts, metrics
+
+    return train_step
+
+
+def build_grad_accum_step(
+    model: SNGan,
+    opt_dis: optax.GradientTransformation,
+    opt_gen: optax.GradientTransformation,
+    micro_batches: int,
+) -> Callable:
+    """One optimizer step over a global batch processed in M micro-batch
+    chunks — global batch sizes whose ACTIVATIONS outgrow HBM (256²+
+    images, or very large B) at 1/M activation memory for ~2x forward
+    FLOPs (the gradient-checkpoint trade, scanned so only one
+    micro-batch of activations is ever live).
+
+    Exact global-batch MMD semantics — this is NOT loss averaging over
+    micro-batches (the MMD kernel matrix is non-decomposable,
+    math_func.py:1048-1069):
+
+    1. a scores pass runs G and D per micro-batch (``lax.scan``, no
+       residuals kept) and concatenates the tiny [B, d] score matrices;
+    2. the loss and its score cotangents are computed ONCE on the full
+       matrices — identical math to the fused step;
+    3. a second scanned pass recomputes each micro-batch forward under
+       ``jax.vjp`` and pulls the matching cotangent slices, accumulating
+       parameter gradients. Gradient linearity makes the sum equal the
+       full-batch gradient exactly (tested vs ``build_train_step``).
+
+    The returned ``train_step(ts, data_batch, do_dis, do_gen)`` has the
+    same signature/semantics as ``build_train_step`` (same rng stream:
+    the z batch, loss rng, and LossState threading match the fused step
+    bit-for-bit), so it drops into ``Agent.train`` unchanged.
+
+    Deviations at M > 1: train-mode batch-norm statistics are computed
+    per micro-batch (every framework's grad-accum behavior; SN power
+    iteration is batch-independent and stays exact), and the
+    penalty/scale losses (``*_gp``, ``wasserstein``, ``*_ds``) are
+    rejected — their witness/Jacobian terms run D on full-batch
+    interpolates and would need their own accumulation scheme.
+    """
+    M = int(micro_batches)
+    assert M >= 1, M
+    PENALIZED = ("rep_gp", "rmb_gp", "fixed_g_gp", "fixed_t_gp",
+                 "wasserstein", "rep_ds", "rmb_ds")
+    assert model.loss_type not in PENALIZED, (
+        f"loss_type {model.loss_type!r}: penalty/scale losses run the "
+        "discriminator on full-batch interpolates and are not supported "
+        "by the accumulated step; use build_train_step")
+
+    from mmdgan_tpu.models.sngan import decode_image_batch
+
+    def _split(a):
+        """[B, ...] -> [M, B/M, ...] (None passes through)."""
+        return None if a is None else a.reshape((M, -1) + a.shape[1:])
+
+    def train_step(
+        ts: TrainState,
+        data_batch: Dict[str, Optional[Array]],
+        do_dis: Array,
+        do_gen: Array,
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        rng, rng_step = jax.random.split(ts.rng)
+        rng_code, rng_loss, _ = jax.random.split(rng_step, 3)
+
+        B = data_batch["x"].shape[0]
+        assert B % M == 0, (B, M)
+        # the FULL code batch up front (scores are global; z is tiny) —
+        # the identical stream build_train_step draws via gen_stage
+        if model.sample_same_class and data_batch.get("y") is not None:
+            code_batch = model.sample_codes(
+                rng_code, B, code_y=data_batch["y"])
+        else:
+            code_batch = model.sample_codes(rng_code, B)
+
+        mbs = {
+            "x": _split(data_batch["x"]),
+            "y": _split(data_batch.get("y")),
+            "z": _split(code_batch["x"]),
+            "zy": _split(code_batch.get("y")),
+        }
+
+        def micro_fwd(p_dis, p_gen, mb):
+            db = decode_image_batch({"x": mb["x"], "y": mb["y"]})
+            gen_out, gen_state = model.Gen.apply(
+                p_gen, ts.net_state["gen"], {"x": mb["z"], "y": mb["zy"]},
+                train=True)
+            dis_in = model.concat_two_batches(
+                db, {"x": gen_out["x"], "y": mb["zy"]})
+            dis_out, dis_state = model.Dis.apply(
+                p_dis, ts.net_state["dis"], dis_in, train=True)
+            s_x, s_gen = jnp.split(dis_out["x"], 2, axis=0)
+            return (s_gen, s_x), (gen_state, dis_state, gen_out["x"])
+
+        # ---- pass 1: scores only (no residuals held) ----
+        def score_body(_, mb):
+            (s_gen, s_x), (_, _, gx) = micro_fwd(
+                ts.params["dis"], ts.params["gen"], mb)
+            return None, (s_gen, s_x, jnp.mean(jnp.abs(gx)))
+
+        _, (s_gen_m, s_x_m, gx_abs_m) = jax.lax.scan(score_body, None, mbs)
+        s_gen = s_gen_m.reshape((B,) + s_gen_m.shape[2:])
+        s_x = s_x_m.reshape((B,) + s_x_m.shape[2:])
+
+        # ---- loss once on the global score matrices ----
+        def loss_fn(s_gen_, s_x_):
+            lg, ld, new_ls, laux = model.loss_hp.apply(
+                s_gen_, s_x_, model.loss_type,
+                batch_size=B, d=model.score_size,
+                rng=rng_loss, state=ts.loss_state)
+            return (lg, ld), (new_ls, laux)
+
+        losses, pull, (new_loss_state, loss_aux) = jax.vjp(
+            loss_fn, s_gen, s_x, has_aux=True)
+        loss_gen, loss_dis = losses
+        one, zero = jnp.ones(()), jnp.zeros(())
+        cg_sg, cg_sx = pull(((one, zero)))   # dloss_gen/d(scores)
+        cd_sg, cd_sx = pull(((zero, one)))   # dloss_dis/d(scores)
+        cts = {"cg_sg": _split(cg_sg), "cg_sx": _split(cg_sx),
+               "cd_sg": _split(cd_sg), "cd_sx": _split(cd_sx)}
+
+        # ---- pass 2: recompute each micro forward, accumulate grads ----
+        zero_gd = jax.tree.map(jnp.zeros_like, ts.params["dis"])
+        zero_gg = jax.tree.map(jnp.zeros_like, ts.params["gen"])
+
+        def grad_body(carry, mb_ct):
+            gd, gg, _, _ = carry
+            mb = {k: mb_ct[k] for k in ("x", "y", "z", "zy")}
+
+            def f(p_dis, p_gen):
+                scores, states = micro_fwd(p_dis, p_gen, mb)
+                return scores, states
+
+            _, pull2, (gen_state, dis_state, _) = jax.vjp(
+                f, ts.params["dis"], ts.params["gen"], has_aux=True)
+            gd_i, _ = pull2((mb_ct["cd_sg"], mb_ct["cd_sx"]))
+            _, gg_i = pull2((mb_ct["cg_sg"], mb_ct["cg_sx"]))
+            gd = jax.tree.map(jnp.add, gd, gd_i)
+            gg = jax.tree.map(jnp.add, gg, gg_i)
+            return (gd, gg, gen_state, dis_state), None
+
+        (grads_dis, grads_gen, gen_state, dis_state), _ = jax.lax.scan(
+            grad_body, (zero_gd, zero_gg,
+                        ts.net_state["gen"], ts.net_state["dis"]),
+            {**mbs, **cts})
+
+        params_dis, opt_state_dis = _gated_update(
+            do_dis, opt_dis, grads_dis, ts.params["dis"], ts.opt_state_dis)
+        params_gen, opt_state_gen = _gated_update(
+            do_gen, opt_gen, grads_gen, ts.params["gen"], ts.opt_state_gen)
+
+        new_ts = TrainState(
+            params={"gen": params_gen, "dis": params_dis},
+            net_state={"gen": gen_state, "dis": dis_state},
+            loss_state=new_loss_state,
+            opt_state_dis=opt_state_dis,
+            opt_state_gen=opt_state_gen,
+            step=ts.step + 1,
+            rng=rng,
+        )
+        metrics = {
+            "loss_gen": loss_gen,
+            "loss_dis": loss_dis,
+            "s_x_mean": jnp.mean(s_x),
+            "s_gen_mean": jnp.mean(s_gen),
+            "x_gen_abs_mean": jnp.mean(gx_abs_m),
+            **loss_aux,
+        }
+        if model.do_summary:
             metrics["grad_norm_dis"] = optax.global_norm(grads_dis)
             metrics["grad_norm_gen"] = optax.global_norm(grads_gen)
         return new_ts, metrics

@@ -614,3 +614,97 @@ def test_epoch_permuter_incremental_composition():
         pm2 = EpochPermuter(make_perm, permute)
         resumed = pm2.advance(7, [orig, None])
         np.testing.assert_array_equal(resumed[0], arrs[0])
+
+
+BN_FREE_ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(16, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 4 * 4, "op": "d", "act": "linear",
+         "act_nm": None, "out_reshape": [8, 4, 4]},
+        {"name": "l2", "out": 4, "op": "tc", "act": "relu", "act_nm": None,
+         "kernel": 4, "strides": 2},
+        {"name": "l3", "out": 1, "act": "tanh"},
+    ],
+    "discriminator": [
+        {"name": "l1", "out": 8, "act": "lrelu", "act_k": 1.3, "w_nm": "s",
+         "kernel": 3, "strides": 2, "out_reshape": [4 * 4 * 8]},
+        {"name": "l2", "out": 4, "op": "d", "w_nm": "s"},
+    ],
+}
+
+
+@pytest.mark.parametrize("micro", [1, 4])
+def test_grad_accum_step_equals_fused(micro):
+    """build_grad_accum_step: micro-batched accumulation reproduces the
+    fused step exactly on a BN-free architecture (scores, loss, LossState
+    threading, SN power vectors, gradients -> post-step params). BN-free
+    because train-mode BN statistics are per-micro-batch by design."""
+    from mmdgan_tpu.train.step import build_grad_accum_step
+
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts0 = init_train_state(model, jax.random.PRNGKey(3), opt_d, opt_g)
+    batch = {"x": jnp.asarray(np.random.RandomState(0)
+                              .randn(32, 8, 8, 1).astype(np.float32)),
+             "y": None}
+    t = jnp.asarray(True)
+
+    fused = jax.jit(build_train_step(model, opt_d, opt_g))
+    accum = jax.jit(build_grad_accum_step(model, opt_d, opt_g, micro))
+    ts_f, m_f = fused(ts0, batch, t, t)
+    ts_a, m_a = accum(ts0, batch, t, t)
+
+    np.testing.assert_allclose(float(m_a["loss_gen"]), float(m_f["loss_gen"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_a["loss_dis"]), float(m_f["loss_dis"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
+                    jax.tree.leaves(jax.device_get(ts_f.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(jax.device_get(ts_a.net_state)),
+                    jax.tree.leaves(jax.device_get(ts_f.net_state))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    # a second step keeps matching (rng threading identical)
+    ts_f2, m_f2 = fused(ts_f, batch, t, t)
+    ts_a2, m_a2 = accum(ts_a, batch, t, t)
+    np.testing.assert_allclose(float(m_a2["loss_gen"]),
+                               float(m_f2["loss_gen"]), rtol=1e-6)
+
+
+def test_grad_accum_step_rejects_penalty_losses():
+    from mmdgan_tpu.train.step import build_grad_accum_step
+
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rmb_gp")
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2])
+    with pytest.raises(AssertionError, match="penalty"):
+        build_grad_accum_step(model, opt_d, opt_g, 4)
+
+
+def test_grad_accum_step_data_parallel_8_devices():
+    """The accumulated step keeps global semantics under the data mesh:
+    8-device result equals single-device (micro-batches stay sharded)."""
+    from mmdgan_tpu.train.step import build_grad_accum_step
+
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts = init_train_state(model, jax.random.PRNGKey(3), opt_d, opt_g)
+    batch = {"x": jnp.asarray(np.random.RandomState(0)
+                              .randn(32, 8, 8, 1).astype(np.float32)),
+             "y": None}
+    t = jnp.asarray(True)
+    step_fn = build_grad_accum_step(model, opt_d, opt_g, micro_batches=2)
+
+    ts1, m1 = jax.jit(step_fn)(ts, batch, t, t)
+
+    dp = DataParallel()
+    assert dp.num_devices == 8
+    ts8, m8 = dp.compile_step(step_fn)(
+        dp.replicate(ts), dp.shard_batch(batch), t, t)
+    np.testing.assert_allclose(float(m1["loss_gen"]), float(m8["loss_gen"]),
+                               rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(ts1.params)),
+                    jax.tree.leaves(jax.device_get(ts8.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
