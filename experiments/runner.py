@@ -92,6 +92,12 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--param-hist-step", type=int, default=0,
                    help="write per-variable parameter histograms every N "
                         "steps (host-side fetch; 0 = off)")
+    p.add_argument("--micro-batches", type=int, default=1, metavar="M",
+                   help="gradient accumulation: run each optimizer step "
+                        "in M micro-batch chunks at 1/M activation "
+                        "memory with EXACT global-batch MMD semantics "
+                        "(docs/SCALING.md; ~2x forward FLOPs; not with "
+                        "penalty/scale losses or --device-dataset)")
     p.add_argument("--compilation-cache", default="", metavar="DIR",
                    help="persistent XLA compilation cache directory: a "
                         "restarted process (resume / next chunk / serving "
@@ -214,7 +220,17 @@ def run_experiment(
         target_step=args.chunks * args.steps_per_chunk,
         bf16_moments=args.bf16_moments)
     ts = init_train_state(model, jax.random.PRNGKey(args.seed), opt_d, opt_g)
-    step_fn = build_train_step(model, opt_d, opt_g)
+    if args.micro_batches > 1:
+        from mmdgan_tpu.train.step import build_grad_accum_step
+
+        assert not args.device_dataset, (
+            "--micro-batches applies to the host-fed step; the "
+            "HBM-resident dataset path already avoids activation "
+            "pressure via its own scan")
+        step_fn = build_grad_accum_step(
+            model, opt_d, opt_g, args.micro_batches)
+    else:
+        step_fn = build_train_step(model, opt_d, opt_g)
     dp = DataParallel()
     print(f"Devices: {dp.num_devices}; Num instance: {num_instance}; "
           f"Num class: {args.num_class}; Batch: {args.batch_size}; "
