@@ -708,3 +708,37 @@ def test_grad_accum_step_data_parallel_8_devices():
     for a, b in zip(jax.tree.leaves(jax.device_get(ts1.params)),
                     jax.tree.leaves(jax.device_get(ts8.params))):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
+
+
+def test_grad_accum_step_conditional_equals_fused():
+    """Conditional accumulation: labels (real y and drawn code y) slice
+    consistently across micro-batches — dcd/cck/dck conditional kernels
+    with same-class batching, M=4 vs the fused step."""
+    from tests.test_conditional import DCD_ARCH, NUM_CLASS
+    from mmdgan_tpu.train.step import build_grad_accum_step
+
+    # BN-free variant of the conditional arch (BN stats are per-micro)
+    import copy
+    arch = copy.deepcopy(DCD_ARCH)
+    for l in arch["generator"]:
+        if l.get("act_nm") == "bn":
+            l["act_nm"] = None
+    model = SNGan(arch, num_class=NUM_CLASS, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    model.sample_same_class = True
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts0 = init_train_state(model, jax.random.PRNGKey(5), opt_d, opt_g)
+    rng = np.random.RandomState(1)
+    batch = {"x": jnp.asarray(rng.randn(32, 8, 8, 1).astype(np.float32)),
+             "y": jnp.asarray(rng.randint(0, NUM_CLASS, (32, 1)))}
+    t = jnp.asarray(True)
+
+    fused = jax.jit(build_train_step(model, opt_d, opt_g))
+    accum = jax.jit(build_grad_accum_step(model, opt_d, opt_g, 4))
+    ts_f, m_f = fused(ts0, batch, t, t)
+    ts_a, m_a = accum(ts0, batch, t, t)
+    np.testing.assert_allclose(float(m_a["loss_gen"]), float(m_f["loss_gen"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
+                    jax.tree.leaves(jax.device_get(ts_f.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
