@@ -227,11 +227,30 @@ class DataParallel:
 
         return jax.tree.map(put, tree, is_leaf=lambda v: v is None)
 
-    def compile_step(self, step_fn: Callable, donate_state: bool = False) -> Callable:
+    def ensure_placed(self, tree):
+        """``shard_state`` unless the caller already placed the state on
+        this mesh — preserves ``fsdp=True`` or custom layouts through the
+        Agent training loops (which would otherwise re-replicate a
+        deliberately sharded state, undoing its memory saving)."""
+        mesh_devs = set(self.mesh.devices.flat)
+        leaves = [l for l in jax.tree.leaves(tree) if l is not None]
+        if leaves and all(
+                isinstance(l, jax.Array)
+                and set(l.sharding.device_set) == mesh_devs
+                for l in leaves):
+            return tree
+        return self.shard_state(tree)
+
+    def compile_step(self, step_fn: Callable, donate_state: bool = False,
+                     out_state_like=None) -> Callable:
         """jit the train step: state replicated, batch sharded.
 
-        Output shardings are inferred by XLA; with replicated inputs and a
-        global-semantics step the new state comes back replicated.
+        Output shardings are inferred by XLA by default; with replicated
+        inputs and a global-semantics step the new state comes back
+        replicated. For deliberately sharded states (``shard_state`` with
+        fsdp or a model axis) pass ``out_state_like=ts`` to pin the new
+        state to the same layout — inference may otherwise re-replicate
+        leaves.
 
         Donation (``donate_state=True``) halves the HBM held by the train
         state but is OFF by default: donating replicated buffers deadlocks
@@ -243,13 +262,26 @@ class DataParallel:
         """
         platform = self.mesh.devices.flat[0].platform
         donate = donate_state and platform != "cpu"
-        cache_key = (id(step_fn), donate)
+        out_shardings = None
+        sh_key = None
+        if out_state_like is not None:
+            # Pin the NEW state's shardings to the input state's layout.
+            # Without this XLA's inferred output shardings are free to
+            # re-replicate deliberately sharded leaves (observed on
+            # fsdp=True states: a BN model lost 5 of 11 sharded leaves
+            # after one step), silently undoing the memory saving. The
+            # metrics subtree stays unconstrained (None prefix).
+            state_sh = jax.tree.map(lambda l: l.sharding, out_state_like)
+            out_shardings = (state_sh, None)
+            sh_key = tuple(jax.tree.leaves(state_sh))
+        cache_key = (id(step_fn), donate, sh_key)
         if cache_key not in self._compiled:
             # memoized so repeated train calls (per-chunk loops) reuse the
             # traced/compiled executable instead of re-jitting
             self._compiled[cache_key] = jax.jit(
                 step_fn,
                 donate_argnums=(0,) if donate else (),
+                out_shardings=out_shardings,
             )
         return self._compiled[cache_key]
 

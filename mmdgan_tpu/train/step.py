@@ -184,12 +184,17 @@ def build_grad_accum_step(
     the z batch, loss rng, and LossState threading match the fused step
     bit-for-bit), so it drops into ``Agent.train`` unchanged.
 
-    Deviations at M > 1: train-mode batch-norm statistics are computed
-    per micro-batch (every framework's grad-accum behavior; SN power
-    iteration is batch-independent and stays exact), and the
-    penalty/scale losses (``*_gp``, ``wasserstein``, ``*_ds``) are
-    rejected — their witness/Jacobian terms run D on full-batch
-    interpolates and would need their own accumulation scheme.
+    Deviations at M > 1: train-mode batch norm NORMALIZES each
+    micro-batch by its own batch statistics (every framework's
+    grad-accum behavior), and the per-step moving-statistics update is
+    the AVERAGE of the per-micro-batch updates — for the linear EMA
+    this folds the mean of the micro means (exactly the full-batch
+    mean) and the mean of the micro variances (the within-micro part
+    of the full-batch variance). SN power iteration is
+    batch-independent and stays exact. The penalty/scale losses
+    (``*_gp``, ``wasserstein``, ``*_ds``) are rejected — their
+    witness/Jacobian terms run D on full-batch interpolates and would
+    need their own accumulation scheme.
     """
     M = int(micro_batches)
     assert M >= 1, M
@@ -275,8 +280,24 @@ def build_grad_accum_step(
         zero_gd = jax.tree.map(jnp.zeros_like, ts.params["dis"])
         zero_gg = jax.tree.map(jnp.zeros_like, ts.params["gen"])
 
+        # state updates accumulate as a SUM of per-micro updates (each
+        # computed from the step-start state) and divide by M after the
+        # scan: for BN's linear EMA that is the update at the mean
+        # micro-batch statistic; SN power vectors are batch-independent
+        # (all M updates identical), so the average is a no-op there.
+        # Non-float state leaves (if any) keep the last micro's value.
+        def _zero_state(t):
+            return jax.tree.map(
+                lambda l: jnp.zeros_like(l)
+                if jnp.issubdtype(l.dtype, jnp.inexact) else l, t)
+
+        def _add_state(acc, new):
+            return jax.tree.map(
+                lambda a, n: a + n
+                if jnp.issubdtype(n.dtype, jnp.inexact) else n, acc, new)
+
         def grad_body(carry, mb_ct):
-            gd, gg, _, _ = carry
+            gd, gg, sacc = carry
             mb = {k: mb_ct[k] for k in ("x", "y", "z", "zy")}
 
             def f(p_dis, p_gen):
@@ -289,12 +310,16 @@ def build_grad_accum_step(
             _, gg_i = pull2((mb_ct["cg_sg"], mb_ct["cg_sx"]))
             gd = jax.tree.map(jnp.add, gd, gd_i)
             gg = jax.tree.map(jnp.add, gg, gg_i)
-            return (gd, gg, gen_state, dis_state), None
+            sacc = _add_state(sacc, {"gen": gen_state, "dis": dis_state})
+            return (gd, gg, sacc), None
 
-        (grads_dis, grads_gen, gen_state, dis_state), _ = jax.lax.scan(
-            grad_body, (zero_gd, zero_gg,
-                        ts.net_state["gen"], ts.net_state["dis"]),
+        (grads_dis, grads_gen, state_sum), _ = jax.lax.scan(
+            grad_body,
+            (zero_gd, zero_gg, _zero_state(ts.net_state)),
             {**mbs, **cts})
+        new_net_state = jax.tree.map(
+            lambda l: l / M
+            if jnp.issubdtype(l.dtype, jnp.inexact) else l, state_sum)
 
         params_dis, opt_state_dis = _gated_update(
             do_dis, opt_dis, grads_dis, ts.params["dis"], ts.opt_state_dis)
@@ -303,7 +328,7 @@ def build_grad_accum_step(
 
         new_ts = TrainState(
             params={"gen": params_gen, "dis": params_dis},
-            net_state={"gen": gen_state, "dis": dis_state},
+            net_state=new_net_state,
             loss_state=new_loss_state,
             opt_state_dis=opt_state_dis,
             opt_state_gen=opt_state_gen,

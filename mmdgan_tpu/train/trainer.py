@@ -83,8 +83,22 @@ class _PreemptionGuard:
         if self._installed:
             import signal
 
-            signal.signal(signal.SIGTERM, self._prev)
+            # signal.signal() returns None when the previous handler was
+            # installed outside Python; restoring None raises TypeError
+            signal.signal(signal.SIGTERM,
+                          self._prev if self._prev is not None
+                          else signal.SIG_DFL)
         return False
+
+
+def _is_custom_sharded(tree) -> bool:
+    """True when any leaf is sharded (not fully replicated) — the Agent
+    loops then pin the step's output state layout (compile_step
+    out_state_like) so XLA cannot re-replicate it."""
+    return any(
+        getattr(l, "sharding", None) is not None
+        and not l.sharding.is_fully_replicated
+        for l in jax.tree.leaves(tree))
 
 
 def split_host_metrics(metrics_host: Dict, take_last: bool):
@@ -293,8 +307,10 @@ class Agent:
             max_step = min(max_step, self.debug_step)
 
         dp = dp or DataParallel()
-        step_fn = dp.compile_step(train_step)
-        ts = dp.shard_state(ts)
+        ts = dp.ensure_placed(ts)
+        step_fn = dp.compile_step(
+            train_step,
+            out_state_like=ts if _is_custom_sharded(ts) else None)
         if self.load_ckpt:
             ts = self.restore(ts)
 
@@ -405,8 +421,10 @@ class Agent:
                 from mmdgan_tpu.train.step import imbalanced_scan
                 multi = imbalanced_scan(train_step, k, iu)
             self._multi_cache[cache_key] = multi
-        step_fn = dp.compile_step(self._multi_cache[cache_key])
-        ts = dp.shard_state(ts)
+        ts = dp.ensure_placed(ts)
+        step_fn = dp.compile_step(
+            self._multi_cache[cache_key],
+            out_state_like=ts if _is_custom_sharded(ts) else None)
         if self.load_ckpt:
             ts = self.restore(ts)
         start_step = int(jax.device_get(ts.step))
@@ -665,7 +683,7 @@ class Agent:
                 data_x = jax.device_put(host_x, batch_sh)
                 data_y = None if host_y is None else jax.device_put(
                     host_y, batch_sh)
-            ts = dp.shard_state(ts)
+            ts = dp.ensure_placed(ts)
         else:
             data_x = jax.device_put(host_x)
             data_y = None if host_y is None else jax.device_put(host_y)

@@ -634,3 +634,41 @@ def test_fsdp_guards_2d_mesh():
     dp2 = DataParallel(make_mesh_2d(2, 2))
     with pytest.raises(AssertionError, match="fsdp shards over the data"):
         dp2.shard_state({"w": jnp.ones((4, 4))}, fsdp=True)
+
+
+def test_agent_train_preserves_fsdp_sharding(tmp_path):
+    """The Agent loops place state with ensure_placed, which must not
+    re-replicate a deliberately fsdp-sharded state (that would undo the
+    memory saving the feature exists for)."""
+    from mmdgan_tpu.train.trainer import Agent
+
+    model = SNGan(CONV_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    dp = DataParallel(make_mesh(jax.devices()[:2]))
+    ts = dp.shard_state(
+        init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g),
+        min_size=1, fsdp=True)
+
+    def n_sharded(tree):
+        return sum(any(ax is not None for ax in l.sharding.spec)
+                   for l in jax.tree.leaves(tree))
+
+    before = n_sharded(ts.params)
+    assert before >= 4
+
+    rng = np.random.RandomState(0)
+
+    def it():
+        while True:
+            yield {"x": rng.randn(B, 8, 8, 1).astype(np.float32), "y": None}
+
+    agent = Agent("fsdp", "t", output_dir=str(tmp_path), do_save=False,
+                  use_tensorboard=False, query_step=100)
+    ts = agent.train(build_train_step(model, opt_d, opt_g), ts, it(),
+                     max_step=4, step_per_epoch=4, dp=dp, steps_per_call=2)
+    assert int(jax.device_get(ts.step)) == 4
+    # XLA's inferred output shardings may shard MORE leaves than the
+    # input placement; re-replication (fewer) is the failure mode
+    assert n_sharded(ts.params) >= before, (
+        "training loop re-replicated the fsdp-sharded state")

@@ -541,18 +541,24 @@ def test_sigterm_preemption_checkpoints(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "preempt_worker.py")
+    import threading
+
     proc = subprocess.Popen(
         [_sys.executable, "-u", worker, str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    # watchdog: readline blocks if the worker never prints (backend
+    # stall before the first query line) — kill rather than wedge
+    watchdog = threading.Timer(300, proc.kill)
+    watchdog.start()
     try:
         # wait until training is demonstrably under way
-        deadline = _time.time() + 300
         for line in proc.stdout:
-            if "global step" in line or _time.time() > deadline:
+            if "global step" in line:
                 break
         proc.send_signal(signal.SIGTERM)
         out, _ = proc.communicate(timeout=300)
     finally:
+        watchdog.cancel()
         if proc.poll() is None:
             proc.kill()
     assert proc.returncode == 0, out[-3000:]

@@ -40,7 +40,9 @@ def main():
     import jax
 
     if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+        from mmdgan_tpu.utils.backend import force_platform
+
+        force_platform(args.platform)
     import jax.numpy as jnp
 
     from mmdgan_tpu.data import SimData

@@ -21,12 +21,14 @@ import sys
 import time
 
 _PROBE = r"""
-import json, time
+import json, sys, time
+sys.path.insert(0, {REPO!r})
 import numpy as np
 import jax, jax.numpy as jnp
 
 if {PLATFORM!r}:
-    jax.config.update("jax_platforms", {PLATFORM!r})
+    from mmdgan_tpu.utils.backend import force_platform
+    force_platform({PLATFORM!r})
 t0 = time.perf_counter()
 devs = jax.devices()
 init_s = time.perf_counter() - t0
@@ -44,15 +46,26 @@ for _ in range(10):
 float(jax.device_get(x))
 out["dispatch_ms"] = round((time.perf_counter() - t0) / 10 * 1e3, 2)
 
-# compute: bf16 matmul chain (MXU), generous size, value fenced
-n = 4096
-a = jnp.ones((n, n), jnp.bfloat16)
-mm = jax.jit(lambda a: a @ a @ a @ a)
-float(jax.device_get(mm(a)[0, 0]))
-t0 = time.perf_counter()
-float(jax.device_get(mm(a)[0, 0]))
-dt = time.perf_counter() - t0
-out["matmul_tflops"] = round(3 * 2 * n**3 / dt / 1e12, 1)
+# compute: bf16 matmul chains (MXU), value fenced. One matmul is ~1 ms
+# of compute vs ~30 ms dispatch+fetch on a tunneled link, so a single
+# timed call pins at the latency floor (same INNER rule as
+# tools/conv_study.py). Two chain lengths are timed and DIFFERENCED —
+# the per-call dispatch/fetch latency cancels, leaving pure compute.
+n, inner = {MMN}, {MMI}
+i1 = max(inner // 8, 1)
+a = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+
+def chain(k):
+    f = jax.jit(lambda a: jax.lax.fori_loop(
+        0, k, lambda i, x: jnp.tanh(x @ x), a))
+    float(jax.device_get(f(a)[0, 0]))  # compile + warm
+    t0 = time.perf_counter()
+    float(jax.device_get(f(a)[0, 0]))
+    return time.perf_counter() - t0
+
+d_small, d_big = chain(i1), chain(inner)
+out["matmul_tflops"] = round(
+    (inner - i1) * 2 * n**3 / max(d_big - d_small, 1e-9) / 1e12, 1)
 
 # link bandwidth, both directions
 mb = {MB}
@@ -80,13 +93,23 @@ def main():
                          "keep small on slow links")
     ap.add_argument("--platform", default="",
                     help="force a backend (cpu/tpu); default = env default")
+    ap.add_argument("--matmul-n", type=int, default=4096,
+                    help="matmul probe matrix size (drop to ~512 on CPU "
+                         "— bf16 there is emulated and slow)")
+    ap.add_argument("--matmul-inner", type=int, default=64,
+                    help="long-chain length for the differenced matmul "
+                         "timing")
     args = ap.parse_args()
 
     t0 = time.time()
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE.replace("{MB}", str(args.mb))
-             .replace("{PLATFORM!r}", repr(args.platform))],
+             .replace("{PLATFORM!r}", repr(args.platform))
+             .replace("{MMN}", str(args.matmul_n))
+             .replace("{MMI}", str(args.matmul_inner))
+             .replace("{REPO!r}", repr(os.path.dirname(
+                 os.path.dirname(os.path.abspath(__file__)))))],
             capture_output=True, text=True, timeout=args.timeout,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     except subprocess.TimeoutExpired:

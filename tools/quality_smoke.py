@@ -248,7 +248,16 @@ def main():
                         "same-class batches (reference conditional path), "
                         "reported metric is mean per-class (intra) FID. "
                         "Requires --device-dataset and --arch cifar.")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a JAX backend (default: env default — the "
+                        "tunneled TPU here); cpu is a fallback when the "
+                        "chip/tunnel is unavailable (tools/preflight.py)")
     args = p.parse_args()
+
+    if args.platform:
+        from mmdgan_tpu.utils.backend import force_platform
+
+        force_platform(args.platform)
 
     if args.sweep:
         if args.steps == 3000:
