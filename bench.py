@@ -164,6 +164,37 @@ def bench_hbm_dataset(dp, sampling="uniform"):
     }
 
 
+def _backend_reachable(deadline_s: float = 1200.0, slice_s: float = 120.0):
+    """Probe the default backend with a hard deadline, retrying.
+
+    The tunneled dev chip sometimes goes down in a mode where backend
+    init HANGS forever (CLAUDE.md gotcha; multi-hour outage observed
+    2026-08-17) — a bench that hangs records nothing. Probe in killable
+    subprocess slices (tools/preflight.py) until the deadline; a late
+    recovery still benches."""
+    import subprocess
+
+    start = time.time()
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "preflight.py")
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, probe, "--timeout", str(slice_s), "--mb", "4"],
+                capture_output=True, text=True, timeout=slice_s + 60)
+            if r.returncode == 0:
+                print(f"[bench] preflight: {r.stdout.strip()}",
+                      file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = time.time() - start
+        if waited >= deadline_s:
+            return False
+        print(f"[bench] backend unreachable after {waited:.0f}s; retrying "
+              f"(deadline {deadline_s:.0f}s)", file=sys.stderr)
+
+
 def main():
     import argparse
 
@@ -177,6 +208,18 @@ def main():
                          "--bf16-moments training flag); default off = "
                          "strict TF1-parity mode")
     args = ap.parse_args()
+
+    if not _backend_reachable():
+        # one honest, self-describing line instead of an infinite hang
+        print(json.dumps({
+            "metric": "cifar10_sngan_rep_b64_train_steps_per_sec_per_chip",
+            "value": 0.0, "unit": "steps/sec", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable for 20 min at bench time "
+                     "(tunnel outage — tools/preflight.py; see CLAUDE.md "
+                     "gotchas); throughput NOT measured, prior recorded "
+                     "figure: 459 steps/s (BENCH_r02.json)",
+        }), flush=True)
+        sys.exit(1)
 
     dp = DataParallel()
     if args.arch != "all":

@@ -248,6 +248,12 @@ def main():
                         "same-class batches (reference conditional path), "
                         "reported metric is mean per-class (intra) FID. "
                         "Requires --device-dataset and --arch cifar.")
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="network compute dtype; bfloat16 (the TPU MXU "
+                        "default and the dtype every recorded run used) "
+                        "is EMULATED and ~10x slower on the CPU backend "
+                        "— pass float32 with --platform cpu")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a JAX backend (default: env default — the "
                         "tunneled TPU here); cpu is a fallback when the "
@@ -292,7 +298,11 @@ def main():
                          "stl": (stl_architecture, 48),
                          "celeba": (celeba_architecture, 64),
                          "lsun": (lsun_architecture, 64)}[args.arch]
-        model = SNGan(arch_fn(), num_class=0, loss_type=args.loss)
+        import jax.numpy as _jnp
+
+        model = SNGan(arch_fn(), num_class=0, loss_type=args.loss,
+                      compute_dtype=_jnp.bfloat16
+                      if args.compute_dtype == "bfloat16" else _jnp.float32)
     opt_d, opt_g = multi_opt_config([args.lr_dis, args.lr_gen])
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
     data = blob_batches(args.batch, size=size, num_class=args.num_class)
