@@ -141,3 +141,55 @@ def _arch_64(act_k: float, w_nm: str):
             {"name": "l10_s", "out": 16, "op": "d", "act_k": act_k, "w_nm": w_nm},
         ],
     }
+
+
+def hd_architecture(size: int = 128,
+                    act_k: float = float(np.power(64.0, 0.1)),
+                    w_nm: str = "s", score_size: int = 16):
+    """Beyond-reference scaled DCGAN for 128/256/512... images.
+
+    The reference tops out at 64x64 (`_arch_64`); this extrapolates the
+    same topology — G: dense -> 4x4 trunk -> k4/s2 transpose-conv
+    doublings with halving channels (capped 1024, floored 32); D: the
+    mirrored conv/downsample stack to 4x4 -> dense score — to any
+    power-of-two size >= 8. At these sizes ACTIVATIONS dominate memory:
+    pair with ``build_grad_accum_step`` (--micro-batches) and/or
+    ``shard_state(fsdp=True)`` (docs/SCALING.md).
+    """
+    import math
+
+    assert size >= 8 and (size & (size - 1)) == 0, (
+        f"size must be a power of two >= 8, got {size}")
+    ups = int(math.log2(size // 4))
+    top = min(1024, 64 * 2 ** (ups - 1))
+
+    gen = [{"name": "l1", "out": top * 4 * 4, "op": "d", "act": "linear",
+            "act_nm": None, "out_reshape": [top, 4, 4]}]
+    ch = top
+    for i in range(ups - 1):
+        ch = max(ch // 2, 32)
+        gen.append({"name": f"l{i + 2}_up", "out": ch, "op": "tc",
+                    "act": "relu", "act_nm": "bn", "kernel": 4,
+                    "strides": 2})
+    gen.append({"name": f"l{ups + 1}_t{size // 2}x2", "out": 3, "op": "tc",
+                "act": "tanh", "act_nm": None, "kernel": 4, "strides": 2})
+
+    dis = [{"name": f"l1_f{size}", "out": max(top // 2 ** (ups - 1), 32),
+            "act": "lrelu", "act_k": act_k, "w_nm": w_nm}]
+    ch = max(top // 2 ** (ups - 1), 32)
+    for i in range(ups - 1):
+        ch = min(ch * 2, 1024)
+        dis.append({"name": f"l{i + 2}_ds", "out": ch, "act": "lrelu",
+                    "act_k": act_k, "w_nm": w_nm, "kernel": 4,
+                    "strides": 2})
+    dis.append({"name": f"l{ups + 1}_ds", "out": top, "act": "lrelu",
+                "act_k": act_k, "w_nm": w_nm, "kernel": 4, "strides": 2,
+                "out_reshape": [top * 4 * 4]})
+    dis.append({"name": f"l{ups + 2}_s", "out": score_size, "op": "d",
+                "act_k": act_k, "w_nm": w_nm})
+    return {
+        "input": [(3, size, size)],
+        "code": [(128, "linear")],
+        "generator": gen,
+        "discriminator": dis,
+    }

@@ -45,3 +45,26 @@ def test_architecture_one_step(name, key):
     assert np.isfinite(float(m["loss_gen"])), name
     img = model.generate(ts.params, ts.net_state, key, batch_size=2)
     assert img.shape == (2, h, w, c)
+
+
+@pytest.mark.parametrize("size", [128, 256])
+def test_hd_architecture_builds_and_generates(size):
+    """Beyond-reference 128/256 architectures: the builder's shape
+    inference closes, the generator emits [B, size, size, 3], and the
+    discriminator scores the concat batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.architectures import hd_architecture
+    from mmdgan_tpu.models import SNGan
+
+    model = SNGan(hd_architecture(size), num_class=0, loss_type="rmb",
+                  compute_dtype=jnp.float32)
+    params, state, _ = model.init(jax.random.PRNGKey(0))
+    imgs = model.generate(params, state, rng=jax.random.PRNGKey(1),
+                          batch_size=2)
+    assert imgs.shape == (2, size, size, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    dis_out, _ = model.Dis.apply(params["dis"], state["dis"],
+                                 {"x": imgs, "y": None}, train=False)
+    assert dis_out["x"].shape == (2, 16)
