@@ -214,16 +214,27 @@ class DataParallel:
             return self.replicate(tree)
         else:
             axis = self.model_axis
-        assert self.process_count == 1, (
-            "state sharding via device_put is single-process (one host / "
-            "one slice); use replicate() for multi-host data parallelism")
+            assert self.process_count == 1, (
+                "model-axis state sharding is single-process (one host / "
+                "one slice); fsdp=True supports multi-process")
+
+        nproc = self.process_count
 
         def put(x):
             if x is None:
                 return None
-            x = jnp.asarray(x)
             spec = self._leaf_spec(x, min_size, axis)
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            sh = NamedSharding(self.mesh, spec)
+            if nproc == 1:
+                return jax.device_put(jnp.asarray(x), sh)
+            # multi-process: device_put cannot address other hosts'
+            # devices. Every process holds the same host value
+            # (deterministic init from a shared seed — the same contract
+            # as replicate(), docs/multihost.md) and contributes its
+            # addressable shards of the global layout.
+            hx = np.asarray(jax.device_get(x))
+            return jax.make_array_from_callback(
+                hx.shape, sh, lambda idx, hx=hx: hx[idx])
 
         return jax.tree.map(put, tree, is_leaf=lambda v: v is None)
 

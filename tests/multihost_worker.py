@@ -170,6 +170,50 @@ def device_data_losses(dp, steps: int = 2, scan_k: int = 3):
     return losses
 
 
+
+def fsdp_losses(dp, steps: int = 3):
+    """FSDP state sharding across process boundaries: every large state
+    leaf is laid out P(..., 'data') over the GLOBAL mesh, each process
+    contributing its addressable shards (make_array_from_callback from
+    the shared-seed host value). The step keeps global semantics, so the
+    losses equal the single-process run; out_state_like pins the layout
+    through the steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import (build_train_step, init_train_state,
+                                  multi_opt_config)
+
+    model = SNGan(TINY_ARCH, loss_type="rep", do_summary=False)
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3], optimizer="sgd")
+    ts = init_train_state(model, jax.random.PRNGKey(21), opt_d, opt_g)
+    ts = dp.shard_state(ts, min_size=1, fsdp=True)
+    n_sharded = sum(
+        any(ax is not None for ax in l.sharding.spec)
+        for l in jax.tree.leaves(ts.params))
+    assert n_sharded >= 4, n_sharded
+    step = dp.compile_step(build_train_step(model, opt_d, opt_g),
+                           out_state_like=ts)
+    rng = np.random.RandomState(13)
+    t = jnp.asarray(True)
+    losses = []
+    for _ in range(steps):
+        host = rng.randn(GLOBAL_BATCH, 8, 8, 1).astype(np.float32)
+        if dp.process_count == 1:
+            batch = dp.shard_batch({"x": host, "y": None})
+        else:
+            local = dp.local_batch_size(GLOBAL_BATCH)
+            i = jax.process_index()
+            batch = dp.shard_batch(
+                {"x": host[i * local:(i + 1) * local], "y": None})
+        ts, m = step(ts, batch, t, t)
+        losses.append([float(jax.device_get(m["loss_gen"])),
+                       float(jax.device_get(m["loss_dis"]))])
+    return losses
+
+
 def worker_main():
     pid, port, data_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     # CPU with 4 virtual devices per process; the env var is set by the
@@ -193,6 +237,8 @@ def worker_main():
     print("RESULT " + json.dumps(losses), flush=True)
     dd_losses = device_data_losses(dp)
     print("RESULT_DD " + json.dumps(dd_losses), flush=True)
+    f_losses = fsdp_losses(dp)
+    print("RESULT_FSDP " + json.dumps(f_losses), flush=True)
 
 
 if __name__ == "__main__":

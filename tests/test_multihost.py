@@ -16,7 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from multihost_worker import (  # noqa: E402
-    device_data_losses, make_dataset, train_losses)
+    device_data_losses, fsdp_losses, make_dataset, train_losses)
 
 
 def _free_port() -> int:
@@ -35,6 +35,7 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     ref = train_losses(DataParallel(), str(tmp_path), steps=4)
     ref_dd = device_data_losses(DataParallel())
+    ref_fsdp = fsdp_losses(DataParallel())
 
     port = _free_port()
     env = dict(os.environ)
@@ -61,6 +62,9 @@ def test_two_process_training_matches_single_process(tmp_path):
         dd = [l for l in o.splitlines() if l.startswith("RESULT_DD ")]
         assert dd, f"no RESULT_DD line in worker output:\n{o}"
         results_dd.append(json.loads(dd[-1][len("RESULT_DD "):]))
+        fs = [l for l in o.splitlines() if l.startswith("RESULT_FSDP ")]
+        assert fs, f"no RESULT_FSDP line in worker output:\n{o}"
+        results_fsdp = json.loads(fs[-1][len("RESULT_FSDP "):])
 
     # both processes see the identical replicated global losses
     np.testing.assert_array_equal(results[0], results[1])
@@ -73,3 +77,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     # 8-device run too
     np.testing.assert_array_equal(results_dd[0], results_dd[1])
     np.testing.assert_allclose(results_dd[0], ref_dd, rtol=2e-4, atol=1e-5)
+
+    # FSDP-sharded state across the process boundary: the step's global
+    # semantics make the run equal the single-process fsdp run
+    np.testing.assert_allclose(results_fsdp, ref_fsdp, rtol=2e-4,
+                               atol=1e-5)
