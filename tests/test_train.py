@@ -742,3 +742,31 @@ def test_grad_accum_step_conditional_equals_fused():
     for a, b in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
                     jax.tree.leaves(jax.device_get(ts_f.params))):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_grad_accum_step_under_scan_fusion(tmp_path):
+    """The accumulated step drops into Agent.train's scan-fused path
+    (steps_per_call > 1 scans it like the fused step) — the CLI
+    combination --micro-batches + --steps-per-call."""
+    from mmdgan_tpu.train.step import build_grad_accum_step
+    from mmdgan_tpu.train.trainer import Agent
+
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+    ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
+    rng = np.random.RandomState(0)
+
+    def it():
+        while True:
+            yield {"x": rng.randn(16, 8, 8, 1).astype(np.float32),
+                   "y": None}
+
+    agent = Agent("accumscan", "t", output_dir=str(tmp_path),
+                  do_save=False, use_tensorboard=False, query_step=100)
+    ts = agent.train(build_grad_accum_step(model, opt_d, opt_g, 2),
+                     ts, it(), max_step=8, step_per_epoch=4,
+                     steps_per_call=4)
+    assert int(jax.device_get(ts.step)) == 8
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(jax.device_get(ts.params)))
