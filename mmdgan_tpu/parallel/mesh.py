@@ -25,6 +25,8 @@ per-layer collectives (docs/SCALING.md "Optional 2-D mesh").
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -252,6 +254,49 @@ class DataParallel:
             return tree
         return self.shard_state(tree)
 
+    def _is_fsdp_layout(self, state) -> bool:
+        """True when any parameter/optimizer leaf is sharded over the DATA
+        axis — the ``shard_state(fsdp=True)`` layout. Model-axis sharding
+        (2-D mesh tensor parallel) deliberately computes WITH sharded
+        weights and must not be gathered."""
+        for leaf in jax.tree.leaves(state):
+            if leaf is None or not isinstance(leaf, jax.Array):
+                continue
+            sharding = leaf.sharding
+            spec = getattr(sharding, "spec", None)
+            if spec is None:
+                continue
+            for entry in spec:
+                names = entry if isinstance(entry, tuple) else (entry,)
+                if self.axis in names:
+                    return True
+        return False
+
+    def _fsdp_gather_step(self, step_fn: Callable) -> Callable:
+        """Wrap a ``(ts, ...) -> (new_ts, metrics)`` step with explicit
+        gather-to-replicated constraints at entry and exit (see
+        ``compile_step``'s FSDP note)."""
+        rep = NamedSharding(self.mesh, P())
+
+        def gather(tree):
+            return jax.tree.map(
+                lambda x: (jax.lax.with_sharding_constraint(x, rep)
+                           if x is not None else None),
+                tree, is_leaf=lambda v: v is None)
+
+        def wrapped(ts, *rest):
+            ts = dataclasses.replace(
+                ts,
+                params=gather(ts.params),
+                net_state=gather(ts.net_state),
+                opt_state_dis=gather(ts.opt_state_dis),
+                opt_state_gen=gather(ts.opt_state_gen),
+            )
+            new_ts, metrics = step_fn(ts, *rest)
+            return gather(new_ts), metrics
+
+        return wrapped
+
     def compile_step(self, step_fn: Callable, donate_state: bool = False,
                      out_state_like=None) -> Callable:
         """jit the train step: state replicated, batch sharded.
@@ -275,6 +320,24 @@ class DataParallel:
         donate = donate_state and platform != "cpu"
         out_shardings = None
         sh_key = None
+        fn_key = id(step_fn)
+        if out_state_like is not None and self._is_fsdp_layout(out_state_like):
+            # FSDP (ZeRO-3-style) layout: gather the state to replicated at
+            # step entry and re-pin the sharded layout only at the step
+            # boundary. Without this, XLA's sharding propagation drags the
+            # data-axis-sharded weight/moment layouts INTO the conv
+            # forward/backward (it keeps kernels sharded and spatially
+            # partitions activations), hitting spmd_partitioner.cc's
+            # "Involuntary full rematerialization" fallback — a full
+            # replicate-then-reshard of activations every step. The
+            # explicit replicated constraints are propagation barriers:
+            # compute runs in the standard batch-sharded layout (weights
+            # all-gathered once per step, exactly ZeRO-3's schedule), and
+            # the exit constraint + pinned out_shardings turn the
+            # re-sharding into a local slice. Persistent inter-step state
+            # stays 1/D per chip; the trade is ~3x params of all-gather
+            # ICI traffic per step (params + both optimizer moment sets).
+            step_fn = self._fsdp_gather_step(step_fn)
         if out_state_like is not None:
             # Pin the NEW state's shardings to the input state's layout.
             # Without this XLA's inferred output shardings are free to
@@ -285,7 +348,7 @@ class DataParallel:
             state_sh = jax.tree.map(lambda l: l.sharding, out_state_like)
             out_shardings = (state_sh, None)
             sh_key = tuple(jax.tree.leaves(state_sh))
-        cache_key = (id(step_fn), donate, sh_key)
+        cache_key = (fn_key, donate, sh_key)
         if cache_key not in self._compiled:
             # memoized so repeated train calls (per-chunk loops) reuse the
             # traced/compiled executable instead of re-jitting

@@ -607,7 +607,11 @@ def test_mesh_equality_fsdp_data_axis():
             # at 8 devices only the out=8 leaves divide; at 2, most do
             assert len(_sharded) >= 4, ("fsdp rule left everything "
                                         f"replicated: {_sharded}")
-            step = dp.compile_step(build_train_step(model, opt_d, opt_g))
+            # out_state_like engages compile_step's gather-to-replicated
+            # propagation barriers (the production fsdp path) — equality
+            # below proves the gather/reshard round-trip is exact
+            step = dp.compile_step(build_train_step(model, opt_d, opt_g),
+                                   out_state_like=ts)
         t = jnp.asarray(True)
         losses = []
         for b in batches:

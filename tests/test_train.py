@@ -321,6 +321,12 @@ def test_graft_dryrun_multichip_subprocess_like_driver():
     assert "2-D data x model mesh (4,2) ok" in proc.stdout
     assert "sharded serving ok" in proc.stdout
     assert "fsdp state sharding ok" in proc.stdout
+    assert "(layout preserved)" in proc.stdout
+    # the SPMD partitioner must never hit its replicate-everything
+    # fallback in ANY dryrun phase — on real hardware that is a full
+    # per-step rematerialization of activations over ICI (VERDICT r3 #2)
+    assert "Involuntary full rematerialization" not in proc.stderr, (
+        proc.stderr[-4000:])
 
 
 @pytest.mark.parametrize("loss_type", [
