@@ -191,21 +191,32 @@ def build_grad_accum_step(
     this folds the mean of the micro means (exactly the full-batch
     mean) and the mean of the micro variances (the within-micro part
     of the full-batch variance). SN power iteration is
-    batch-independent and stays exact. The penalty/scale losses
-    (``*_gp``, ``wasserstein``, ``*_ds``) are rejected — their
-    witness/Jacobian terms run D on full-batch interpolates and would
-    need their own accumulation scheme.
+    batch-independent and stays exact.
+
+    Penalty/scale losses (``*_gp``, ``wasserstein``, ``*_ds``,
+    my_sngan.py:152-240) accumulate exactly too: their witness/Jacobian
+    terms are per-interpolate-row sums against the GLOBAL score
+    matrices, so a third scanned pass computes each micro-batch's
+    penalty contribution, its (second-order) direct D-parameter
+    gradient, and — for the MMD witness penalties — its cotangents on
+    the global ``s_x``/``s_gen``. Those score cotangents, weighted by
+    the loss pull's d(loss_dis)/d(penalty), join the loss cotangents in
+    pass 2; the direct parameter gradients add linearly after it. For
+    the ``*_ds`` scale (a NONLINEAR 1/(w·mean(jaco)+1) of the batch
+    mean), the mean accumulates across micros and the chain factor
+    -w·scale² is applied once. All exact by gradient linearity (tested
+    vs ``build_train_step`` on ``rmb_gp``/``wasserstein``/``rmb_ds``).
     """
     M = int(micro_batches)
     assert M >= 1, M
-    PENALIZED = ("rep_gp", "rmb_gp", "fixed_g_gp", "fixed_t_gp",
-                 "wasserstein", "rep_ds", "rmb_ds")
-    assert model.loss_type not in PENALIZED, (
-        f"loss_type {model.loss_type!r}: penalty/scale losses run the "
-        "discriminator on full-batch interpolates and are not supported "
-        "by the accumulated step; use build_train_step")
+    GP_LOSSES = ("rep_gp", "rmb_gp", "fixed_g_gp", "fixed_t_gp")
+    is_gp = model.loss_type in GP_LOSSES
+    is_w = model.loss_type == "wasserstein"
+    is_ds = model.loss_type in ("rep_ds", "rmb_ds")
+    needs_gx = is_gp or is_w  # interpolates need the generated images
 
-    from mmdgan_tpu.models.sngan import decode_image_batch
+    from mmdgan_tpu.models.sngan import (
+        decode_image_batch, jacobian_squared_frobenius_norm)
 
     def _split(a):
         """[B, ...] -> [M, B/M, ...] (None passes through)."""
@@ -218,7 +229,7 @@ def build_grad_accum_step(
         do_gen: Array,
     ) -> Tuple[TrainState, Dict[str, Array]]:
         rng, rng_step = jax.random.split(ts.rng)
-        rng_code, rng_loss, _ = jax.random.split(rng_step, 3)
+        rng_code, rng_loss, rng_gp = jax.random.split(rng_step, 3)
 
         B = data_batch["x"].shape[0]
         assert B % M == 0, (B, M)
@@ -249,35 +260,134 @@ def build_grad_accum_step(
             s_x, s_gen = jnp.split(dis_out["x"], 2, axis=0)
             return (s_gen, s_x), (gen_state, dis_state, gen_out["x"])
 
-        # ---- pass 1: scores only (no residuals held) ----
+        # ---- pass 1: scores only (no residuals held). The penalized
+        # losses additionally keep the generated IMAGES (one [B, H, W, C]
+        # buffer — the same size as the input batch, not an activation
+        # stack) for the interpolate pass below. ----
         def score_body(_, mb):
             (s_gen, s_x), (_, _, gx) = micro_fwd(
                 ts.params["dis"], ts.params["gen"], mb)
-            return None, (s_gen, s_x, jnp.mean(jnp.abs(gx)))
+            extra = gx if needs_gx else jnp.mean(jnp.abs(gx))
+            return None, (s_gen, s_x, extra)
 
-        _, (s_gen_m, s_x_m, gx_abs_m) = jax.lax.scan(score_body, None, mbs)
+        _, (s_gen_m, s_x_m, gx_extra) = jax.lax.scan(score_body, None, mbs)
         s_gen = s_gen_m.reshape((B,) + s_gen_m.shape[2:])
         s_x = s_x_m.reshape((B,) + s_x_m.shape[2:])
+        gx_abs_mean = jnp.mean(jnp.abs(gx_extra)) if needs_gx \
+            else jnp.mean(gx_extra)
 
-        # ---- loss once on the global score matrices ----
-        def loss_fn(s_gen_, s_x_):
+        # ---- penalty pass: witness/Jacobian terms per micro-batch ----
+        # Per-interpolate-row structure makes them micro-decomposable:
+        # row i's witness couples only to the GLOBAL score matrices
+        # (constants of this pass; their cotangents are accumulated and
+        # rejoin the loss pull below). Each vjp here is second-order —
+        # grad-of-grad through D on one micro-batch of interpolates.
+        zero_gd = jax.tree.map(jnp.zeros_like, ts.params["dis"])
+        dis_penalty = dis_scale = None
+        pen_gd = pen_csx = pen_csgen = jaco_gd = None
+        if is_gp:
+            # identical interpolation draw to the fused step's
+            # mmd_gradient_penalty(rng_gp) internal sampling
+            uni_m = _split(jax.random.uniform(rng_gp, (B, 1, 1, 1)))
+
+            def pen_body(carry, mb):
+                pen_s, gd_s, csx_s, csgen_s = carry
+
+                def f(p_dis, sx_, sgen_):
+                    return model.mmd_gradient_penalty(
+                        p_dis, ts.net_state, rng_gp, mb["x"], mb["gx"],
+                        sx_, sgen_, mode=model.loss_type,
+                        labels=mb["y"], uni=mb["uni"])
+
+                pen_i, pull_i = jax.vjp(f, ts.params["dis"], s_x, s_gen)
+                gd_i, csx_i, csgen_i = pull_i(jnp.ones(()))
+                return (pen_s + pen_i,
+                        jax.tree.map(jnp.add, gd_s, gd_i),
+                        csx_s + csx_i, csgen_s + csgen_i), None
+
+            (pen_sum, pen_gd, pen_csx, pen_csgen), _ = jax.lax.scan(
+                pen_body,
+                (jnp.zeros(()), zero_gd,
+                 jnp.zeros_like(s_x), jnp.zeros_like(s_gen)),
+                {"x": mbs["x"], "gx": gx_extra, "y": mbs["y"],
+                 "uni": uni_m})
+            # mean over B rows = mean of the M equal micro means
+            dis_penalty = model.gp_weight * pen_sum / M
+        elif is_w:
+            uni_m = _split(jax.random.uniform(rng_gp, (B, 1, 1, 1)))
+
+            def pen_body(carry, mb):
+                pen_s, gd_s = carry
+
+                def f(p_dis):
+                    return model.gradient_penalty(
+                        p_dis, ts.net_state, rng_gp, mb["x"], mb["gx"],
+                        labels=mb["y"], uni=mb["uni"])
+
+                pen_i, pull_i = jax.vjp(f, ts.params["dis"])
+                (gd_i,) = pull_i(jnp.ones(()))
+                return (pen_s + pen_i,
+                        jax.tree.map(jnp.add, gd_s, gd_i)), None
+
+            (pen_sum, pen_gd), _ = jax.lax.scan(
+                pen_body, (jnp.zeros(()), zero_gd),
+                {"x": mbs["x"], "gx": gx_extra, "y": mbs["y"],
+                 "uni": uni_m})
+            dis_penalty = model.gp_weight * pen_sum / M
+        elif is_ds:
+            def ds_body(carry, mb):
+                j_s, gd_s = carry
+
+                def f(p_dis):
+                    fwd = lambda xx: model._dis_fwd(
+                        p_dis, ts.net_state, {"x": xx, "y": mb["y"]})
+                    return jnp.mean(
+                        jacobian_squared_frobenius_norm(fwd, mb["x"]))
+
+                j_i, pull_i = jax.vjp(f, ts.params["dis"])
+                (gd_i,) = pull_i(jnp.ones(()))
+                return (j_s + j_i,
+                        jax.tree.map(jnp.add, gd_s, gd_i)), None
+
+            (jaco_sum, jaco_gd), _ = jax.lax.scan(
+                ds_body, (jnp.zeros(()), zero_gd),
+                {"x": mbs["x"], "y": mbs["y"]})
+            mean_jaco = jaco_sum / M
+            dis_scale = 1.0 / (model.penalty_weight * mean_jaco + 1.0)
+
+        # ---- loss once on the global score matrices; penalty/scale are
+        # differentiable inputs so the pull hands back d(loss)/d(pen) ----
+        pen_in = dis_penalty if dis_penalty is not None else jnp.zeros(())
+        scale_in = dis_scale if dis_scale is not None else jnp.ones(())
+
+        def loss_fn(s_gen_, s_x_, pen_, scale_):
             lg, ld, new_ls, laux = model.loss_hp.apply(
                 s_gen_, s_x_, model.loss_type,
                 batch_size=B, d=model.score_size,
+                dis_penalty=pen_ if (is_gp or is_w) else None,
+                dis_scale=scale_ if is_ds else None,
                 rng=rng_loss, state=ts.loss_state)
             return (lg, ld), (new_ls, laux)
 
         losses, pull, (new_loss_state, loss_aux) = jax.vjp(
-            loss_fn, s_gen, s_x, has_aux=True)
+            loss_fn, s_gen, s_x, pen_in, scale_in, has_aux=True)
         loss_gen, loss_dis = losses
         one, zero = jnp.ones(()), jnp.zeros(())
-        cg_sg, cg_sx = pull(((one, zero)))   # dloss_gen/d(scores)
-        cd_sg, cd_sx = pull(((zero, one)))   # dloss_dis/d(scores)
+        # gen pull: pen/scale cotangents are structurally zero (both only
+        # enter loss_dis) and the fused step discards any loss_gen ->
+        # params_dis path anyway (its gen pull stops at gen_x)
+        cg_sg, cg_sx, _, _ = pull((one, zero))   # dloss_gen/d(scores)
+        cd_sg, cd_sx, cd_pen, cd_scale = pull((zero, one))
+        if is_gp:
+            # the witness penalty's global-score cotangents ride pass 2's
+            # D pull, exactly the fused step's joint vjp chain
+            w_pen = cd_pen * model.gp_weight / M
+            cd_sx = cd_sx + w_pen * pen_csx
+            cd_sg = cd_sg + w_pen * pen_csgen
         cts = {"cg_sg": _split(cg_sg), "cg_sx": _split(cg_sx),
                "cd_sg": _split(cd_sg), "cd_sx": _split(cd_sx)}
 
         # ---- pass 2: recompute each micro forward, accumulate grads ----
-        zero_gd = jax.tree.map(jnp.zeros_like, ts.params["dis"])
         zero_gg = jax.tree.map(jnp.zeros_like, ts.params["gen"])
 
         # state updates accumulate as a SUM of per-micro updates (each
@@ -321,6 +431,18 @@ def build_grad_accum_step(
             lambda l: l / M
             if jnp.issubdtype(l.dtype, jnp.inexact) else l, state_sum)
 
+        # direct (second-order) penalty parameter gradients, weighted by
+        # the loss pull's penalty/scale cotangent — linear additions
+        if is_gp or is_w:
+            w_pen = cd_pen * model.gp_weight / M
+            grads_dis = jax.tree.map(
+                lambda g, p: g + w_pen * p, grads_dis, pen_gd)
+        elif is_ds:
+            # scale = 1/(w·mean+1)  =>  d(scale)/d(mean) = -w·scale²
+            w_ds = cd_scale * (-model.penalty_weight * dis_scale ** 2) / M
+            grads_dis = jax.tree.map(
+                lambda g, p: g + w_ds * p, grads_dis, jaco_gd)
+
         params_dis, opt_state_dis = _gated_update(
             do_dis, opt_dis, grads_dis, ts.params["dis"], ts.opt_state_dis)
         params_gen, opt_state_gen = _gated_update(
@@ -340,7 +462,7 @@ def build_grad_accum_step(
             "loss_dis": loss_dis,
             "s_x_mean": jnp.mean(s_x),
             "s_gen_mean": jnp.mean(s_gen),
-            "x_gen_abs_mean": jnp.mean(gx_abs_m),
+            "x_gen_abs_mean": gx_abs_mean,
             **loss_aux,
         }
         if model.do_summary:

@@ -640,15 +640,21 @@ BN_FREE_ARCH = {
 }
 
 
-@pytest.mark.parametrize("micro", [1, 4])
-def test_grad_accum_step_equals_fused(micro):
+@pytest.mark.parametrize("micro,loss_type", [
+    (1, "rep"), (4, "rep"),
+    # penalty/scale losses: the witness/Jacobian terms accumulate via the
+    # second-order penalty pass (per-micro interpolates against the
+    # global score matrices) — must match the fused step's joint vjp
+    (4, "rmb_gp"), (4, "rep_gp"), (4, "wasserstein"), (4, "rmb_ds"),
+])
+def test_grad_accum_step_equals_fused(micro, loss_type):
     """build_grad_accum_step: micro-batched accumulation reproduces the
     fused step exactly on a BN-free architecture (scores, loss, LossState
     threading, SN power vectors, gradients -> post-step params). BN-free
     because train-mode BN statistics are per-micro-batch by design."""
     from mmdgan_tpu.train.step import build_grad_accum_step
 
-    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rep",
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type=loss_type,
                   compute_dtype=jnp.float32)
     opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
     ts0 = init_train_state(model, jax.random.PRNGKey(3), opt_d, opt_g)
@@ -679,13 +685,31 @@ def test_grad_accum_step_equals_fused(micro):
                                float(m_f2["loss_gen"]), rtol=1e-6)
 
 
-def test_grad_accum_step_rejects_penalty_losses():
+def test_grad_accum_step_penalty_loss_data_parallel():
+    """rmb_gp accumulation under the 8-device mesh equals single-device:
+    the penalty pass's global-score cotangent exchange keeps its global
+    semantics under SPMD partitioning."""
     from mmdgan_tpu.train.step import build_grad_accum_step
 
-    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rmb_gp")
-    opt_d, opt_g = multi_opt_config([1e-2, 1e-2])
-    with pytest.raises(AssertionError, match="penalty"):
-        build_grad_accum_step(model, opt_d, opt_g, 4)
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rmb_gp",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts = init_train_state(model, jax.random.PRNGKey(3), opt_d, opt_g)
+    batch = {"x": jnp.asarray(np.random.RandomState(0)
+                              .randn(32, 8, 8, 1).astype(np.float32)),
+             "y": None}
+    t = jnp.asarray(True)
+    step_fn = build_grad_accum_step(model, opt_d, opt_g, micro_batches=2)
+
+    ts1, m1 = jax.jit(step_fn)(ts, batch, t, t)
+    dp = DataParallel()
+    ts8, m8 = dp.compile_step(step_fn)(
+        dp.replicate(ts), dp.shard_batch(batch), t, t)
+    np.testing.assert_allclose(float(m1["loss_dis"]), float(m8["loss_dis"]),
+                               rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(ts1.params)),
+                    jax.tree.leaves(jax.device_get(ts8.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6)
 
 
 def test_grad_accum_step_data_parallel_8_devices():
