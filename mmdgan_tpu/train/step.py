@@ -585,7 +585,8 @@ def same_class_tables(y, num_class: int):
     return table, counts
 
 
-def sharded_same_class_tables(y, num_class: int, num_shards: int):
+def sharded_same_class_tables(y, num_class: int, num_shards: int,
+                              width: int = 0):
     """Per-DEVICE class tables for same-class sampling over a SHARDED
     HBM dataset: shard d holds the contiguous row block
     ``[d*N/D, (d+1)*N/D)`` (the ``P('data')`` layout), and its table
@@ -596,6 +597,12 @@ def sharded_same_class_tables(y, num_class: int, num_shards: int):
     gets its own table. Asserts every class is present on every shard —
     true for any shuffled dataset of reasonable size (shuffle before
     upload if the source is class-sorted).
+
+    ``width`` > 0 pins the table width instead of using the max local
+    class count — multi-process SPMD callers pass ``width=local_n`` so
+    every process's locally built tiles agree in shape and assemble into
+    one global array (``jax.make_array_from_process_local_data``)
+    without cross-host communication.
     """
     import numpy as np
 
@@ -606,7 +613,11 @@ def sharded_same_class_tables(y, num_class: int, num_shards: int):
     local_n = n // num_shards
     per_shard = [same_class_tables(y[d * local_n:(d + 1) * local_n],
                                    num_class) for d in range(num_shards)]
-    width = max(t.shape[1] for t, _ in per_shard)
+    max_count = max(t.shape[1] for t, _ in per_shard)
+    if width:
+        assert width >= max_count, (width, max_count)
+    else:
+        width = max_count
     tables = np.zeros((num_shards, num_class, width), np.int32)
     counts = np.zeros((num_shards, num_class), np.int32)
     for d, (t, c) in enumerate(per_shard):
@@ -616,6 +627,31 @@ def sharded_same_class_tables(y, num_class: int, num_shards: int):
                               for k in range(num_class)])
         counts[d] = c
     return tables, counts
+
+
+def class_schedule(num_class: int, n_steps: int, seed: int):
+    """Host-side deterministic class schedule for ``same_class`` +
+    ``sampling='shuffled_epochs'``: one global class draw per step plus
+    that class's running draw count.
+
+    Returns [n_steps, 2] int32 rows ``(c_t, k_t)`` where ``c_t`` is the
+    class drawn at absolute step t and ``k_t`` = #{s < t : c_s == c_t}.
+    Pure function of (seed, num_class) — a resumed run regenerates the
+    identical schedule from the checkpointed step alone, so the
+    without-replacement per-class streams continue exactly where they
+    left off (the same contract ``EpochPermuter`` gives the
+    unconditional sampler).
+    """
+    import numpy as np
+
+    draws = np.random.RandomState(
+        (seed * 1000003 + 777) % (2**31 - 1)).randint(
+            0, num_class, size=n_steps).astype(np.int32)
+    k = np.zeros(n_steps, np.int32)
+    for c in range(num_class):
+        pos = np.nonzero(draws == c)[0]
+        k[pos] = np.arange(pos.size, dtype=np.int32)
+    return np.stack([draws, k], axis=1)
 
 
 def build_device_data_step(
@@ -628,6 +664,7 @@ def build_device_data_step(
     class_table=None,
     class_counts=None,
     sampling: str = "uniform",
+    sampler_seed: int = 0,
 ) -> Callable:
     """K train steps per launch with batches gathered ON DEVICE from an
     HBM-resident dataset — zero per-step host->device data transfer.
@@ -652,8 +689,19 @@ def build_device_data_step(
       semantics match the reference's shuffled-epoch pipeline more
       closely than with-replacement). Rows beyond the last full batch of
       an epoch are reshuffled into the next epoch's permutation.
-      Not combinable with ``same_class`` (class-grouped draws need the
-      gather path).
+      Combined with ``same_class`` the returned fn takes a trailing
+      ``schedule`` argument ([num_steps, 2] int32 rows from
+      ``class_schedule``): one global class draw per step, and each
+      class consumes ITS OWN without-replacement epoch stream — row
+      order within a class-epoch is a fresh uniform permutation derived
+      on device from ``(sampler_seed, class, class_epoch)`` alone
+      (argsort of fold_in-keyed uniforms), so no sampler state is
+      carried and checkpoint resume replays the identical streams.
+      This is the reference's ``group_by_window`` batching over a
+      shuffled-epochs pipeline (input_func.py:905-916). Rows beyond the
+      last full batch of a class-epoch reshuffle into that class's next
+      epoch. Every class needs at least ``batch_size`` (per-device:
+      ``batch_size/D``) rows.
 
     Returns ``fn(ts, data_x, data_y, rng, do_dis, do_gen) ->
     (new_ts, new_rng, metrics)``; ``data_x`` is the full [N, H, W, C]
@@ -674,18 +722,71 @@ def build_device_data_step(
     step = build_train_step(model, opt_dis, opt_gen)
 
     assert sampling in ("uniform", "shuffled_epochs"), sampling
+    scheduled = same_class and sampling == "shuffled_epochs"
+    # multi-process SPMD: globally-assembled tables span non-addressable
+    # devices, which jit cannot close over ("pass such arrays as
+    # arguments") — the returned fn then takes (class_table,
+    # class_counts) as trailing arguments instead
+    tables_global = same_class and isinstance(class_table, jax.Array)
     if same_class:
         assert class_table is not None and class_counts is not None, (
             "same_class sampling needs same_class_tables(y, num_class)")
-        assert sampling == "uniform", (
-            "same_class batching needs the gather sampler; "
-            "sampling='shuffled_epochs' is not combinable with it")
+        if scheduled and not tables_global:
+            # (multi-process global count arrays can't be fetched here;
+            # the trainer asserts its process-local counts instead)
+            import numpy as np_
 
-    def _sampler(data_x, data_y, mesh, axis):
+            cnt_host = np_.asarray(class_counts)
+            # per-device local batch is validated again in the mesh
+            # branch; here guard the replicated case
+            if cnt_host.ndim == 1:
+                assert int(cnt_host.min()) >= batch_size, (
+                    f"same_class + shuffled_epochs needs every class to "
+                    f"hold >= batch_size rows; min count "
+                    f"{int(cnt_host.min())} < {batch_size}")
+
+    def _sampler(data_x, data_y, mesh, axis, tbl_in=None, cnt_in=None):
         # every sampler takes (rng, step): step indexes shuffled-epoch
         # slices; the uniform/gather samplers ignore it
+        base_key = jax.random.PRNGKey(sampler_seed) if scheduled else None
+
+        def _class_epoch_slots(key, count, width, offset, local_batch):
+            # Uniform permutation of this class's valid slots for one
+            # class-epoch: argsort of keyed uniforms with padded slots
+            # pushed past the valid prefix; the slice stays inside
+            # [0, count - local_batch] by construction (offset =
+            # (k % (count // local_batch)) * local_batch).
+            keys = jax.random.uniform(key, (width,))
+            keys = jnp.where(jnp.arange(width) < count, keys, jnp.inf)
+            perm = jnp.argsort(keys)
+            return jax.lax.dynamic_slice_in_dim(perm, offset, local_batch)
+
         if mesh is None:
             n = data_x.shape[0]
+
+            if scheduled:
+                tbl = jnp.asarray(class_table)    # [C, width]
+                cnt = jnp.asarray(class_counts)   # [C]
+                width = tbl.shape[1]
+
+                def sample(rng, step_count, sched):
+                    c, k = sched[0], sched[1]
+                    dpe = jnp.maximum(cnt[c] // batch_size, 1)
+                    e = k // dpe
+                    off = (k % dpe) * batch_size
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(base_key, c), e)
+                    slots = _class_epoch_slots(
+                        key, cnt[c], width, off, batch_size)
+                    idx = tbl[c, slots]
+                    return {
+                        "x": jnp.take(data_x, idx, axis=0),
+                        "y": (jnp.full((batch_size, 1), c, jnp.int32)
+                              if data_y is None
+                              else jnp.take(data_y, idx, axis=0)),
+                    }
+
+                return sample
 
             if sampling == "shuffled_epochs":
                 n_batches = n // batch_size
@@ -740,6 +841,68 @@ def build_device_data_step(
             f"batch {batch_size} must divide over {ndev} devices")
         local_b = batch_size // ndev
 
+        if scheduled:
+            # Sharded same_class + shuffled_epochs: the SAME global class
+            # schedule on every device (replicated [2] row), per-device
+            # without-replacement streams over LOCAL rows — each shard's
+            # class-epoch length is its own local count, permutation keys
+            # fold in the device index. Zero collectives, no carried
+            # sampler state.
+            tbl = tbl_in if tbl_in is not None else jnp.asarray(class_table)
+            cnt = cnt_in if cnt_in is not None else jnp.asarray(class_counts)
+            assert tbl.ndim == 3 and tbl.shape[0] == ndev, (
+                f"sharded same_class needs sharded_same_class_tables(y, "
+                f"num_class, {ndev}); got table shape {tbl.shape}")
+            if hasattr(class_counts, "min") and not isinstance(
+                    class_counts, jax.Array):
+                import numpy as np_
+                cmin = int(np_.asarray(class_counts).min())
+                assert cmin >= local_b, (
+                    f"same_class + shuffled_epochs needs every class to "
+                    f"hold >= batch/D = {local_b} rows on every shard; "
+                    f"min local count {cmin}")
+            width = tbl.shape[2]
+
+            def local_sample_sce(sched, xs, ys, tb, ct):
+                c, k = sched[0, 0], sched[0, 1]
+                dev = jax.lax.axis_index(axis)
+                dpe = jnp.maximum(ct[0, c] // local_b, 1)
+                e = k // dpe
+                off = (k % dpe) * local_b
+                key = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.fold_in(base_key, dev), c), e)
+                slots = _class_epoch_slots(key, ct[0, c], width, off, local_b)
+                idx = tb[0, c, slots]
+                x = jnp.take(xs, idx, axis=0)
+                y = (jnp.full((local_b, 1), c, jnp.int32) if ys is None
+                     else jnp.take(ys, idx, axis=0))
+                return x, y
+
+            if data_y is None:
+                smap = shard_map(
+                    lambda sched, xs, tb, ct: local_sample_sce(
+                        sched, xs, None, tb, ct),
+                    mesh=mesh,
+                    in_specs=(P(None), P(axis), P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis)),
+                )
+
+                def sample(rng, step_count, sched):
+                    x, y = smap(sched[None], data_x, tbl, cnt)
+                    return {"x": x, "y": y}
+            else:
+                smap = shard_map(
+                    local_sample_sce, mesh=mesh,
+                    in_specs=(P(None), P(axis), P(axis), P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis)),
+                )
+
+                def sample(rng, step_count, sched):
+                    x, y = smap(sched[None], data_x, data_y, tbl, cnt)
+                    return {"x": x, "y": y}
+
+            return sample
+
         if same_class:
             # Sharded same-class sampling (VERDICT r2 item 6): ONE global
             # class draw per step — the class key is NOT folded with the
@@ -748,8 +911,8 @@ def build_device_data_step(
             # of LOCAL rows (sharded_same_class_tables). Matches the
             # replicated sampler's group_by_window semantics
             # (input_func.py:905-916) with zero collectives.
-            tbl = jnp.asarray(class_table)
-            cnt = jnp.asarray(class_counts)
+            tbl = tbl_in if tbl_in is not None else jnp.asarray(class_table)
+            cnt = cnt_in if cnt_in is not None else jnp.asarray(class_counts)
             assert tbl.ndim == 3 and tbl.shape[0] == ndev, (
                 f"sharded same_class needs sharded_same_class_tables(y, "
                 f"num_class, {ndev}); got table shape {tbl.shape}")
@@ -863,6 +1026,44 @@ def build_device_data_step(
         mmd_avg) -> (ts, rng, mmd_avg, metrics)`` (the loss EMA carries
         across calls)."""
         is_list = isinstance(imbalanced, (list, tuple))
+        assert not (scheduled and imbalanced is not None), (
+            "same_class + shuffled_epochs is not combinable with "
+            "imbalanced schedules (the class schedule is step-indexed)")
+
+        if scheduled:
+            def _sched_core(ts, data_x, data_y, rng, do_dis, do_gen,
+                            schedule, tbl=None, cnt=None):
+                sample = _sampler(data_x, data_y, mesh, axis, tbl, cnt)
+
+                def body(carry, sched):
+                    ts, rng = carry
+                    rng, r_idx = jax.random.split(rng)
+                    batch = sample(r_idx, ts.step, sched)
+                    new_ts, metrics = step(ts, batch, do_dis, do_gen)
+                    return (new_ts, rng), metrics
+
+                (final_ts, rng), metrics = jax.lax.scan(
+                    body, (ts, rng), schedule, length=num_steps)
+                return final_ts, rng, metrics
+
+            if tables_global:
+                def multi_step_sched(ts, data_x, data_y, rng,
+                                     do_dis: Array, do_gen: Array,
+                                     schedule, class_table, class_counts):
+                    return _sched_core(ts, data_x, data_y, rng, do_dis,
+                                       do_gen, schedule, class_table,
+                                       class_counts)
+            else:
+                def multi_step_sched(ts, data_x, data_y, rng,
+                                     do_dis: Array, do_gen: Array,
+                                     schedule):
+                    return _sched_core(ts, data_x, data_y, rng, do_dis,
+                                       do_gen, schedule)
+
+            multi_step_sched.sampler = (
+                lambda data_x, data_y=None, tbl=None, cnt=None: _sampler(
+                    data_x, data_y, mesh, axis, tbl, cnt))
+            return multi_step_sched
 
         def body_core(carry, sample):
             ts, rng, avg = carry
@@ -883,6 +1084,9 @@ def build_device_data_step(
             metrics["do_dis"] = dd
             return (new_ts, rng, new_avg), metrics
 
+        assert not (tables_global and imbalanced is not None), (
+            "multi-process same_class tables are not combinable with "
+            "imbalanced schedules")
         if imbalanced is not None:
             def multi_step_imb(ts, data_x, data_y, rng, mmd_avg):
                 sample = _sampler(data_x, data_y, mesh, axis)
@@ -895,8 +1099,9 @@ def build_device_data_step(
                 lambda data_x, data_y=None: _sampler(data_x, data_y, mesh, axis))
             return multi_step_imb
 
-        def multi_step(ts, data_x, data_y, rng, do_dis: Array, do_gen: Array):
-            sample = _sampler(data_x, data_y, mesh, axis)
+        def _uniform_core(ts, data_x, data_y, rng, do_dis, do_gen,
+                          tbl=None, cnt=None):
+            sample = _sampler(data_x, data_y, mesh, axis, tbl, cnt)
 
             def body(carry, _):
                 ts, rng = carry
@@ -909,10 +1114,22 @@ def build_device_data_step(
                 body, (ts, rng), None, length=num_steps)
             return final_ts, rng, metrics
 
+        if tables_global:
+            def multi_step(ts, data_x, data_y, rng, do_dis: Array,
+                           do_gen: Array, class_table, class_counts):
+                return _uniform_core(ts, data_x, data_y, rng, do_dis,
+                                     do_gen, class_table, class_counts)
+        else:
+            def multi_step(ts, data_x, data_y, rng,
+                           do_dis: Array, do_gen: Array):
+                return _uniform_core(ts, data_x, data_y, rng,
+                                     do_dis, do_gen)
+
         # exposed for tests: the exact batch-sampling closure the scan
         # uses, as sample(rng, step) -> batch
         multi_step.sampler = (
-            lambda data_x, data_y=None: _sampler(data_x, data_y, mesh, axis))
+            lambda data_x, data_y=None, tbl=None, cnt=None: _sampler(
+                data_x, data_y, mesh, axis, tbl, cnt))
         return multi_step
 
     fn = make()

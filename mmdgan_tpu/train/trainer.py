@@ -555,9 +555,11 @@ class Agent:
         replicated (a host-local state is replicated here). Under
         multi-process SPMD ``data`` holds this process's LOCAL rows
         (assembled globally via make_array_from_process_local_data, like
-        ``shard_batch``); ``sample_same_class`` is single-process-only
-        through this facade — it needs the global label layout, so build
-        ``sharded_same_class_tables`` yourself there.
+        ``shard_batch``); ``sample_same_class`` works there too — each
+        process builds class tables over its OWN local shards (local row
+        indices, width pinned so tiles agree) and the global class draw
+        is shared (un-folded key / shared schedule), so no cross-host
+        label exchange is needed.
 
         ``sampling``: ``"uniform"`` (default; with-replacement random
         gather) or ``"shuffled_epochs"`` — without-replacement epochs via
@@ -576,8 +578,14 @@ class Agent:
         without-replacement guarantee. A
         boundary crossed mid-launch keeps the previous permutation for
         the rest of that K-step window (still a far stronger shuffle
-        than the reference's 10k-element buffer). Single-process only;
-        not combinable with ``sample_same_class``."""
+        than the reference's 10k-element buffer). The unconditional
+        sampler is single-process only. Combined with
+        ``sample_same_class`` the group_by_window semantics ride a
+        deterministic class schedule (one global class draw per step,
+        ``class_schedule``) with per-class without-replacement epoch
+        streams permuted ON DEVICE from (sampling_seed, class,
+        class_epoch) — no EpochPermuter, works sharded and
+        multi-process, and resume replays the identical streams."""
         from mmdgan_tpu.train.step import (
             EpochPermuter, build_device_data_step, same_class_tables,
             sharded_same_class_tables)
@@ -597,27 +605,16 @@ class Agent:
             "HBM-resident datasets are data-parallel only (the shard_map "
             "sampler shards rows over the data axis); use a 1-D mesh")
         shuffled = sampling == "shuffled_epochs"
+        scheduled = shuffled and sample_same_class
         if sampling_seed is None:
             sampling_seed = seed
-        if shuffled:
-            assert not sample_same_class, (
-                "sampling='shuffled_epochs' is not combinable with "
-                "sample_same_class (class-grouped draws need the gather "
-                "sampler)")
+        if shuffled and not sample_same_class:
             assert nproc == 1, (
-                "sampling='shuffled_epochs' is single-process through "
-                "this facade (epoch re-permutation needs every process "
-                "to hold its rows); drive build_device_data_step "
-                "yourself for multi-process epoch shuffles")
-        if nproc > 1:
-            # data holds this PROCESS's local rows (like shard_batch);
-            # same-class needs the global label layout no process has —
-            # build tables yourself and use build_device_data_step
-            # directly for that combination
-            assert not sample_same_class, (
-                "sample_same_class over a multi-process mesh is not "
-                "supported through this facade; use "
-                "sharded_same_class_tables + build_device_data_step")
+                "sampling='shuffled_epochs' (unconditional) is "
+                "single-process through this facade (epoch "
+                "re-permutation needs every process to hold its rows); "
+                "drive build_device_data_step yourself for "
+                "multi-process epoch shuffles")
         host_x = np.asarray(data["x"])
         host_y = None if data.get("y") is None else np.asarray(data["y"])
         local_dev = ndev // nproc
@@ -630,10 +627,36 @@ class Agent:
             host_y = None if host_y is None else host_y[:keep]
 
         table = counts = None
+        table_key = None
         if sample_same_class:
             assert host_y is not None, (
                 "sample_same_class needs labels in data['y']")
-            if ndev > 1:
+            if nproc > 1:
+                # each process builds tables for ITS OWN local shards
+                # (local row indices, width pinned to local_n so every
+                # process's tiles agree), then assembles the global
+                # [ndev, num_class, width] arrays exactly like the
+                # dataset rows — same_class over a multi-process mesh
+                # needs no cross-host label exchange, because the class
+                # draw is global (un-folded key / shared schedule) and
+                # each device samples its LOCAL rows
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                local_n = host_x.shape[0] // local_dev
+                t_loc, c_loc = sharded_same_class_tables(
+                    host_y, model.num_class, local_dev, width=local_n)
+                if scheduled:
+                    assert int(c_loc.min()) >= batch_size // ndev, (
+                        f"same_class + shuffled_epochs needs every class "
+                        f">= batch/D = {batch_size // ndev} rows on every "
+                        f"local shard; min {int(c_loc.min())}")
+                table_key = (t_loc.tobytes(), c_loc.tobytes())
+                tsh = NamedSharding(dp.mesh, P(dp.axis))
+                table = jax.make_array_from_process_local_data(
+                    tsh, t_loc, (ndev,) + t_loc.shape[1:])
+                counts = jax.make_array_from_process_local_data(
+                    tsh, c_loc, (ndev, model.num_class))
+            elif ndev > 1:
                 table, counts = sharded_same_class_tables(
                     host_y, model.num_class, ndev)
             else:
@@ -643,18 +666,20 @@ class Agent:
             # the jitted step CLOSES OVER the class tables and the mesh —
             # both must be part of the key or a second call with a
             # different dataset/mesh would silently reuse stale closures
-            table_key = (None if table is None
-                         else (table.tobytes(), counts.tobytes()))
+            tkey = table_key
+            if tkey is None and table is not None:
+                tkey = (table.tobytes(), counts.tobytes())
             mesh_key = None if dp is None else id(dp.mesh)
             cache_key = (id(model), id(opt_dis), id(opt_gen), num_steps,
-                         batch_size, sample_same_class, ndev, table_key,
-                         mesh_key, sampling)
+                         batch_size, sample_same_class, ndev, tkey,
+                         mesh_key, sampling,
+                         sampling_seed if scheduled else None)
             if cache_key not in self._devdata_cache:
                 builder = build_device_data_step(
                     model, opt_dis, opt_gen, num_steps, batch_size,
                     same_class=sample_same_class,
                     class_table=table, class_counts=counts,
-                    sampling=sampling)
+                    sampling=sampling, sampler_seed=sampling_seed)
                 if ndev > 1:
                     builder = builder.with_mesh(dp.mesh, axis=dp.axis)
                 self._devdata_cache[cache_key] = jax.jit(builder)
@@ -692,7 +717,7 @@ class Agent:
         start_step = int(jax.device_get(ts.step))
         start = time.time()
 
-        if shuffled:
+        if shuffled and not scheduled:
             # Epoch re-permutation for sampling='shuffled_epochs'. The
             # layout for epoch e is orig[perm(e)] with perm(e) derived
             # from (sampling_seed, e) alone — directly computable, so a
@@ -720,12 +745,38 @@ class Agent:
             fn = get_fn(k)
         num_calls = max_step // k
         remainder = max_step - num_calls * k
+
+        full_sched = None
+        if scheduled:
+            # one global class draw per step + per-class running draw
+            # counts, regenerated deterministically from sampling_seed —
+            # a resumed run's schedule continues the per-class streams
+            # exactly (train/step.py class_schedule)
+            from mmdgan_tpu.train.step import class_schedule
+
+            full_sched = class_schedule(
+                model.num_class, start_step + max_step, sampling_seed)
+
+        # multi-process same-class tables span non-addressable devices —
+        # jit can't close over them, so the step takes them as trailing
+        # arguments (build_device_data_step tables_global)
+        targs = ((table, counts)
+                 if sample_same_class and isinstance(table, jax.Array)
+                 else ())
+
+        def _invoke(fn_, ts, rng, off, n):
+            if scheduled:
+                return fn_(ts, data_x, data_y, rng, t_true, t_true,
+                           full_sched[off:off + n], *targs)
+            return fn_(ts, data_x, data_y, rng, t_true, t_true, *targs)
+
         with _PreemptionGuard(self.handle_preemption) as guard:
             for call in range(num_calls):
-                if shuffled:
+                if shuffled and not scheduled:
                     data_x, data_y = permuter.advance(
                         (start_step + call * k) // n_batches, [data_x, data_y])
-                ts, rng, metrics = fn(ts, data_x, data_y, rng, t_true, t_true)
+                ts, rng, metrics = _invoke(
+                    fn, ts, rng, start_step + call * k, k)
                 gstep = start_step + (call + 1) * k
                 if (
                     gstep % self.query_step < k
@@ -755,12 +806,13 @@ class Agent:
                 if guard.requested:
                     break
         if remainder and not guard.requested:
-            if shuffled:
+            if shuffled and not scheduled:
                 data_x, data_y = permuter.advance(
                     (start_step + num_calls * k) // n_batches,
                     [data_x, data_y])
-            ts, rng, metrics = get_fn(remainder)(
-                ts, data_x, data_y, rng, t_true, t_true)
+            ts, rng, metrics = _invoke(
+                get_fn(remainder), ts, rng,
+                start_step + num_calls * k, remainder)
             jax.device_get(metrics["loss_gen"])
         final_step = int(jax.device_get(ts.step))
         if self.do_save:

@@ -214,6 +214,62 @@ def fsdp_losses(dp, steps: int = 3):
     return losses
 
 
+COND_ARCH = {
+    "input": [(1, 8, 8)],
+    "code": [(8, "linear")],
+    "generator": [
+        {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+         "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+    "discriminator": [
+        {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+         "act_k": 1.3, "in_reshape": [8 * 8]},
+        {"name": "l2", "out": 4, "op": "dck", "w_nm": "s", "act_k": 1.0}],
+}
+
+
+def same_class_facade_params(dp, out_dir: str, sampling: str):
+    """sample_same_class over a multi-process mesh THROUGH THE FACADE
+    (VERDICT r3 item 5b): each process passes its LOCAL rows+labels;
+    ``Agent.train_device_data`` builds process-local class tables (width
+    pinned to local_n) and assembles them globally. With per-class-
+    constant rows the run must equal the single-process facade run for
+    both the uniform gather and the shuffled_epochs class schedule.
+    Returns the flattened final params."""
+    import numpy as np
+    import jax
+
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.trainer import Agent
+
+    num_class, n = 4, 64
+    y = (np.arange(n) % num_class).astype(np.int32).reshape(-1, 1)
+    x = np.stack([np.full((8, 8, 1), 40 + 50 * int(c), np.uint8)
+                  for c in y[:, 0]])
+    model = SNGan(COND_ARCH, num_class=num_class, loss_type="rep",
+                  do_summary=False)
+    model.sample_same_class = True
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    ts = init_train_state(model, jax.random.PRNGKey(31), opt_d, opt_g)
+
+    if dp.process_count == 1:
+        data = {"x": x, "y": y}
+    else:
+        ln = n // dp.process_count
+        i = jax.process_index()
+        data = {"x": x[i * ln:(i + 1) * ln], "y": y[i * ln:(i + 1) * ln]}
+
+    agent = Agent(f"sc_{sampling}", f"p{jax.process_index()}",
+                  output_dir=out_dir, query_step=100, do_save=False,
+                  use_tensorboard=False)
+    ts = agent.train_device_data(
+        model, opt_d, opt_g, ts, data, max_step=6, step_per_epoch=16,
+        batch_size=16, steps_per_call=3, dp=dp, seed=0,
+        sample_same_class=True, sampling=sampling, sampling_seed=23)
+    return [np.asarray(l).ravel().tolist()
+            for l in jax.tree.leaves(jax.device_get(ts.params))]
+
+
 def worker_main():
     pid, port, data_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     # CPU with 4 virtual devices per process; the env var is set by the
@@ -239,6 +295,9 @@ def worker_main():
     print("RESULT_DD " + json.dumps(dd_losses), flush=True)
     f_losses = fsdp_losses(dp)
     print("RESULT_FSDP " + json.dumps(f_losses), flush=True)
+    for sampling in ("uniform", "shuffled_epochs"):
+        sc = same_class_facade_params(dp, data_dir, sampling)
+        print(f"RESULT_SC_{sampling} " + json.dumps(sc), flush=True)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from multihost_worker import (  # noqa: E402
-    device_data_losses, fsdp_losses, make_dataset, train_losses)
+    device_data_losses, fsdp_losses, make_dataset, same_class_facade_params,
+    train_losses)
 
 
 def _free_port() -> int:
@@ -36,6 +37,8 @@ def test_two_process_training_matches_single_process(tmp_path):
     ref = train_losses(DataParallel(), str(tmp_path), steps=4)
     ref_dd = device_data_losses(DataParallel())
     ref_fsdp = fsdp_losses(DataParallel())
+    ref_sc = {s: same_class_facade_params(DataParallel(), str(tmp_path), s)
+              for s in ("uniform", "shuffled_epochs")}
 
     port = _free_port()
     env = dict(os.environ)
@@ -54,7 +57,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o}"
 
-    results, results_dd = [], []
+    results, results_dd, results_sc = [], [], {}
     for o in outs:
         lines = [l for l in o.splitlines() if l.startswith("RESULT ")]
         assert lines, f"no RESULT line in worker output:\n{o}"
@@ -65,6 +68,12 @@ def test_two_process_training_matches_single_process(tmp_path):
         fs = [l for l in o.splitlines() if l.startswith("RESULT_FSDP ")]
         assert fs, f"no RESULT_FSDP line in worker output:\n{o}"
         results_fsdp = json.loads(fs[-1][len("RESULT_FSDP "):])
+        for s in ("uniform", "shuffled_epochs"):
+            tag = f"RESULT_SC_{s} "
+            sc = [l for l in o.splitlines() if l.startswith(tag)]
+            assert sc, f"no {tag}line in worker output:\n{o}"
+            results_sc.setdefault(s, []).append(
+                json.loads(sc[-1][len(tag):]))
 
     # both processes see the identical replicated global losses
     np.testing.assert_array_equal(results[0], results[1])
@@ -82,3 +91,15 @@ def test_two_process_training_matches_single_process(tmp_path):
     # semantics make the run equal the single-process fsdp run
     np.testing.assert_allclose(results_fsdp, ref_fsdp, rtol=2e-4,
                                atol=1e-5)
+
+    # sample_same_class over the multi-process mesh THROUGH THE FACADE
+    # (VERDICT r3 item 5b), uniform gather AND the shuffled_epochs class
+    # schedule: process-local tables + shared global class draws, with
+    # per-class-constant rows -> final params equal the single-process
+    # facade run
+    for s in ("uniform", "shuffled_epochs"):
+        for a, b in zip(results_sc[s][0], results_sc[s][1]):
+            np.testing.assert_array_equal(a, b, err_msg=f"sc {s} p0 vs p1")
+        for a, b in zip(results_sc[s][0], ref_sc[s]):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6,
+                                       err_msg=f"sc {s} vs single-process")

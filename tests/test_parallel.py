@@ -576,6 +576,77 @@ def test_train_device_data_shuffled_epochs_sharded(tmp_path):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_device_dataset_sharded_same_class_shuffled_vs_replicated():
+    """same_class + shuffled_epochs over a SHARDED HBM dataset (VERDICT
+    r3 item 5a, sharded): the global class schedule is shared (replicated
+    [2] row into shard_map) and each device consumes without-replacement
+    epoch streams over its LOCAL rows. With per-class-constant rows the
+    sharded path must match the single-device path."""
+    from mmdgan_tpu.train.step import (
+        build_device_data_step, class_schedule, same_class_tables,
+        sharded_same_class_tables)
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.3, "in_reshape": [8 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "w_nm": "s",
+             "act_k": 1.0}],
+    }
+    num_class = 4
+    n = 128
+    y = (np.arange(n) % num_class).astype(np.int64)
+    data_np = np.stack(
+        [np.full((8, 8, 1), 40 + 50 * c, np.uint8) for c in y])
+    on = jnp.ones(())
+    sched = class_schedule(num_class, 6, seed=11)
+
+    def run(mesh_size):
+        model = SNGan(arch, num_class=num_class, loss_type="rep",
+                      compute_dtype=jnp.float32)
+        model.sample_same_class = True
+        opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+        ts = init_train_state(model, jax.random.PRNGKey(7), opt_d, opt_g)
+        dp = DataParallel(make_mesh(jax.devices()[:mesh_size]))
+        ts = dp.replicate(ts)
+        if mesh_size == 1:
+            table, counts = same_class_tables(y, num_class)
+            builder = build_device_data_step(
+                model, opt_d, opt_g, num_steps=6, batch_size=16,
+                same_class=True, class_table=table, class_counts=counts,
+                sampling="shuffled_epochs", sampler_seed=11)
+            fn = jax.jit(builder)
+            data = jnp.asarray(data_np)
+            yd = jnp.asarray(y.reshape(-1, 1))
+        else:
+            table, counts = sharded_same_class_tables(y, num_class, mesh_size)
+            builder = build_device_data_step(
+                model, opt_d, opt_g, num_steps=6, batch_size=16,
+                same_class=True, class_table=table, class_counts=counts,
+                sampling="shuffled_epochs", sampler_seed=11)
+            fn = jax.jit(builder.with_mesh(dp.mesh))
+            data = jax.device_put(data_np, NamedSharding(dp.mesh, P("data")))
+            yd = jax.device_put(y.reshape(-1, 1),
+                                NamedSharding(dp.mesh, P("data")))
+        ts, _, m = fn(ts, data, yd, jax.random.PRNGKey(5), on, on,
+                      jnp.asarray(sched))
+        return np.asarray(m["loss_gen"]), jax.device_get(ts.params)
+
+    lg1, p1 = run(1)
+    for nmesh in (2, 8):
+        lgn, pn = run(nmesh)
+        np.testing.assert_allclose(lgn, lg1, rtol=2e-4, atol=1e-5,
+                                   err_msg=f"mesh size {nmesh}")
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pn)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-6)
+
+
 def test_mesh_equality_fsdp_data_axis():
     """fsdp=True on a 1-D data mesh: large state leaves shard over the
     DATA axis (ZeRO-3-style memory sharding; XLA all-gathers weights

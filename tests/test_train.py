@@ -571,13 +571,86 @@ def test_shuffled_epochs_sampler_semantics(key):
     assert (np.asarray(b["x"])[:, 0, 0, 0].astype(int).tolist()
             == list(range(16, 32)))
 
-    # not combinable with same-class batching
-    with pytest.raises(AssertionError, match="not combinable"):
+    # combined with same-class batching every class needs >= batch rows
+    with pytest.raises(AssertionError, match="batch_size"):
         build_device_data_step(
             model, opt_d, opt_g, num_steps=2, batch_size=16,
             same_class=True, class_table=np.zeros((2, 4), np.int32),
             class_counts=np.full((2,), 4, np.int32),
             sampling="shuffled_epochs")
+
+
+def test_same_class_shuffled_epochs_sampler_semantics(key):
+    """same_class + sampling='shuffled_epochs' (VERDICT r3 item 5a): one
+    global class draw per step (class_schedule) and per-class
+    WITHOUT-REPLACEMENT epoch streams — within each class-epoch no row
+    repeats and every drawn row belongs to the drawn class; epochs use
+    distinct permutations; the remainder rows (counts % batch) reshuffle
+    into the class's next epoch (group_by_window over shuffled epochs,
+    input_func.py:905-916)."""
+    from mmdgan_tpu.train.step import (
+        build_device_data_step, class_schedule, same_class_tables)
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": None, "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.0, "in_reshape": [8 * 8]}],
+    }
+    num_class, b, k = 3, 4, 60
+    model = SNGan(arch, num_class=num_class, loss_type="hinge")
+    model.sample_same_class = True
+    opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+
+    # uneven counts: 9/10/11 rows — dpe = 2 full batches per class-epoch
+    y = np.concatenate([np.full(9, 0), np.full(10, 1),
+                        np.full(11, 2)]).astype(np.int32)[:, None]
+    # row id encoded in the image so drawn rows are recoverable
+    x = (np.arange(30, dtype=np.float32)[:, None, None, None]
+         * np.ones((1, 8, 8, 1), np.float32))
+    table, counts = same_class_tables(y, num_class)
+    builder = build_device_data_step(
+        model, opt_d, opt_g, num_steps=k, batch_size=b,
+        same_class=True, class_table=table, class_counts=counts,
+        sampling="shuffled_epochs", sampler_seed=7)
+    sched = class_schedule(num_class, k, seed=7)
+    sample = builder.sampler(jnp.asarray(x), jnp.asarray(y))
+
+    per_class_batches = {c: [] for c in range(num_class)}
+    for t in range(k):
+        batch = sample(jax.random.PRNGKey(t), jnp.asarray(t),
+                       jnp.asarray(sched[t]))
+        c = int(sched[t, 0])
+        ys = np.asarray(batch["y"])
+        assert np.all(ys == c), "batch mixes classes"
+        rows = np.asarray(batch["x"])[:, 0, 0, 0].astype(int)
+        assert np.all(y[rows, 0] == c), "row of the wrong class drawn"
+        per_class_batches[c].append(rows.tolist())
+
+    epoch_sets = []
+    for c in range(num_class):
+        dpe = int(counts[c]) // b
+        batches = per_class_batches[c]
+        assert len(batches) >= 2 * dpe, "schedule never revisited a class"
+        for e0 in range(0, len(batches) - dpe + 1, dpe):
+            ep = [r for bt in batches[e0:e0 + dpe] for r in bt]
+            assert len(set(ep)) == len(ep), (
+                f"class {c} epoch at {e0} repeats a row: {ep}")
+            epoch_sets.append(tuple(ep))
+    # distinct permutations across epochs (same set, different order)
+    assert len(set(epoch_sets)) > num_class
+
+    # deterministic: the schedule + sampler replay bitwise
+    again = sample(jax.random.PRNGKey(999), jnp.asarray(0),
+                   jnp.asarray(sched[0]))
+    first_c = int(sched[0, 0])
+    np.testing.assert_array_equal(
+        np.asarray(again["x"]),
+        np.asarray([x[r] for r in per_class_batches[first_c][0]]))
 
 
 def test_epoch_permuter_incremental_composition():

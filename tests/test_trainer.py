@@ -205,6 +205,66 @@ def test_train_device_data(tmp_path, key):
     assert int(jax.device_get(ts.step)) == 30
 
 
+def test_train_device_data_same_class_shuffled_resume(tmp_path, key):
+    """same_class + sampling='shuffled_epochs' through the facade
+    (VERDICT r3 item 5a): trains, and a save-at-8/restore/8-more run is
+    bitwise equal to 16 straight steps — the class schedule and the
+    per-class epoch streams both replay deterministically from
+    (sampling_seed, checkpointed step) alone."""
+    from mmdgan_tpu.models import SNGan
+    from mmdgan_tpu.train import init_train_state, multi_opt_config
+    from mmdgan_tpu.train.trainer import Agent
+
+    arch = {
+        "input": [(1, 8, 8)],
+        "code": [(8, "linear")],
+        "generator": [
+            {"name": "l1", "out": 8 * 8, "op": "d", "act": "tanh",
+             "act_nm": "cbn", "out_reshape": [1, 8, 8]}],
+        "discriminator": [
+            {"name": "l1", "out": 4, "op": "d", "act": "lrelu", "w_nm": "s",
+             "act_k": 1.3, "in_reshape": [8 * 8]},
+            {"name": "l2", "out": 4, "op": "dck", "w_nm": "s",
+             "act_k": 1.0}],
+    }
+
+    def mk():
+        model = SNGan(arch, num_class=3, loss_type="rep")
+        model.sample_same_class = True
+        opt_d, opt_g = multi_opt_config([1e-3, 1e-3])
+        ts = init_train_state(model, key, opt_d, opt_g)
+        return model, opt_d, opt_g, ts
+
+    rs = np.random.RandomState(0)
+    y = (np.arange(48) % 3).astype(np.int32).reshape(-1, 1)
+    data = {"x": rs.randint(0, 256, size=(48, 8, 8, 1), dtype=np.uint8),
+            "y": y}
+    kw = dict(step_per_epoch=16, batch_size=8, steps_per_call=4,
+              sample_same_class=True, sampling="shuffled_epochs",
+              sampling_seed=13)
+
+    model, opt_d, opt_g, ts0 = mk()
+    a = Agent("straight", "sc", output_dir=str(tmp_path), query_step=100,
+              do_save=False, use_tensorboard=False)
+    ts_a = a.train_device_data(model, opt_d, opt_g, ts0, data,
+                               max_step=16, **kw)
+
+    model, opt_d, opt_g, ts0 = mk()
+    b1 = Agent("resumed", "sc", output_dir=str(tmp_path), query_step=100,
+               do_save=True, use_tensorboard=False)
+    ts_b = b1.train_device_data(model, opt_d, opt_g, ts0, data,
+                                max_step=8, **kw)
+    _, _, _, ts_fresh = mk()
+    b2 = Agent("resumed", "sc", output_dir=str(tmp_path), load_ckpt=True,
+               query_step=100, do_save=False, use_tensorboard=False)
+    ts_b2 = b2.train_device_data(model, opt_d, opt_g, ts_fresh, data,
+                                 max_step=8, **kw)
+    assert int(jax.device_get(ts_b2.step)) == 16
+    for a_leaf, b_leaf in zip(jax.tree.leaves(jax.device_get(ts_a.params)),
+                              jax.tree.leaves(jax.device_get(ts_b2.params))):
+        np.testing.assert_array_equal(np.asarray(a_leaf), np.asarray(b_leaf))
+
+
 def test_resume_is_bitwise_deterministic(tmp_path, key):
     """save at step 5 + restore + 5 more steps == 10 uninterrupted steps,
     parameter-for-parameter (validates the full TrainState round-trip
