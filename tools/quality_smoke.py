@@ -203,11 +203,15 @@ def main():
     p.add_argument("--eval-batches", type=int, default=16)
     p.add_argument("--out", default="/tmp/quality_smoke")
     p.add_argument("--arch", default="cifar",
-                   choices=["cifar", "stl", "celeba", "lsun"],
+                   choices=["cifar", "stl", "celeba", "lsun", "hd128",
+                            "hd256"],
                    help="cifar: 32x32 (my_test_cifar.py); stl: 48x48 "
                         "(my_test_stl.py); celeba/lsun: the 64x64 "
                         "10-layer archs (my_test_celebA.py / "
-                        "my_test_lsun.py) — the conv-compute-bound regime")
+                        "my_test_lsun.py) — the conv-compute-bound "
+                        "regime; hd128/hd256: the beyond-reference "
+                        "hd_architecture family (the reference caps at "
+                        "64x64)")
     p.add_argument("--sweep", action="store_true",
                    help="full loss-catalogue training sweep: every "
                         "dispatcher branch trains --steps scanned steps "
@@ -294,10 +298,15 @@ def main():
         model.sample_same_class = True  # whole batch one class (reference)
         size = 32
     else:
+        from experiments.architectures import hd_architecture
+
         arch_fn, size = {"cifar": (cifar_architecture, 32),
                          "stl": (stl_architecture, 48),
                          "celeba": (celeba_architecture, 64),
-                         "lsun": (lsun_architecture, 64)}[args.arch]
+                         "lsun": (lsun_architecture, 64),
+                         "hd128": (lambda: hd_architecture(128), 128),
+                         "hd256": (lambda: hd_architecture(256), 256),
+                         }[args.arch]
         import jax.numpy as _jnp
 
         model = SNGan(arch_fn(), num_class=0, loss_type=args.loss,
