@@ -33,10 +33,14 @@ from mmdgan_tpu.models import SNGan
 from mmdgan_tpu.train import build_train_step, init_train_state, multi_opt_config
 from mmdgan_tpu.parallel import DataParallel
 
-# assumed TF1-GPU figures (see module docstring)
+# assumed TF1-GPU figures (see module docstring); hd128 extrapolates the
+# same pixel scaling past the reference's 64x64 cap (no reference
+# experiment exists at 128² — the ratio is vs what the TF1 stack WOULD
+# do if it scaled)
 BASELINES = {"cifar": 12.0, "stl": 12.0 * (32.0 / 48.0) ** 2,
              "celeba": 12.0 * (32.0 / 64.0) ** 2,
-             "lsun": 12.0 * (32.0 / 64.0) ** 2}
+             "lsun": 12.0 * (32.0 / 64.0) ** 2,
+             "hd128": 12.0 * (32.0 / 128.0) ** 2}
 # vs_baseline provenance: the ratio is against an ESTIMATE, not a
 # measured TF1 run (the reference publishes no throughput numbers)
 BASELINE_NOTE = "assumed 12 steps/s TF1-GPU at 32x32, pixel-scaled (estimated, not measured)"
@@ -52,11 +56,14 @@ def _arch_and_img(name):
         celeba_architecture, cifar_architecture, lsun_architecture,
         stl_architecture)
 
+    from experiments.architectures import hd_architecture
+
     return {
         "cifar": (cifar_architecture, 32),
         "stl": (stl_architecture, 48),
         "celeba": (celeba_architecture, 64),
         "lsun": (lsun_architecture, 64),
+        "hd128": (lambda: hd_architecture(128), 128),
     }[name][0](), {"cifar": 32, "stl": 48, "celeba": 64, "lsun": 64}[name]
 
 
@@ -103,9 +110,9 @@ def bench_arch(name, dp, bf16_moments=False):
         f"{n_chips} chip(s); loss_gen={final_loss:.4f} e_kxx={e_kxx:.4f}",
         file=sys.stderr,
     )
+    label = {"cifar": "cifar10", "hd128": "hd128"}.get(name, name + str(img))
     return {
-        "metric": f"{'cifar10' if name == 'cifar' else name + str(img)}"
-                  f"_sngan_rep_b64_train_steps_per_sec_per_chip",
+        "metric": f"{label}_sngan_rep_b64_train_steps_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "steps/sec",
         "vs_baseline": round(per_chip / BASELINES[name], 3),
@@ -200,7 +207,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="all",
-                    choices=["all", "cifar", "stl", "celeba", "lsun"])
+                    choices=["all", "cifar", "stl", "celeba", "lsun",
+                             "hd128"])
     ap.add_argument("--skip-hbm", action="store_true",
                     help="skip the HBM-resident dataset metric in --arch all")
     ap.add_argument("--bf16-moments", action="store_true",
@@ -232,7 +240,7 @@ def main():
         print(json.dumps(bench_hbm_dataset(dp)), flush=True)
         print(json.dumps(bench_hbm_dataset(dp, "shuffled_epochs")),
               flush=True)
-    for name in ("stl", "celeba", "lsun"):
+    for name in ("stl", "celeba", "lsun", "hd128"):
         print(json.dumps(bench_arch(name, dp, args.bf16_moments)), flush=True)
     # repeat the flagship LAST for last-line parsers
     print(json.dumps(flagship), flush=True)
