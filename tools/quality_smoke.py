@@ -245,7 +245,9 @@ def main():
                         "dataset (without-replacement epochs at the "
                         "synthetic-feed ceiling, "
                         "docs/hbm_sampling_study.md). Needs "
-                        "--device-dataset; not with --num-class.")
+                        "--device-dataset. With --num-class the batches "
+                        "ride a deterministic global class schedule with "
+                        "per-class epoch streams (train/step.py).")
     p.add_argument("--num-class", type=int, default=0,
                    help=">=2: class-conditional run — cbn generator + "
                         "dck score head, class-colored blobs, "
@@ -347,7 +349,6 @@ def main():
             sc_kwargs = dict(same_class=True, class_table=table,
                              class_counts=counts)
         if args.sampling != "uniform":
-            assert not cond, "--sampling shuffled_epochs is unconditional"
             assert data_x.shape[0] >= args.batch, (
                 f"--sampling shuffled_epochs needs at least one full "
                 f"batch in the device dataset (rows={data_x.shape[0]} "
@@ -431,16 +432,25 @@ def main():
 
     done = int(jax.device_get(ts.step))
     permuter = None
+    sched = None
     if args.sampling != "uniform" and data_x is None:
         raise SystemExit("--sampling shuffled_epochs needs "
                          "--device-dataset (HBM-resident path)")
     if data_x is not None and args.sampling == "shuffled_epochs":
-        from mmdgan_tpu.train.step import EpochPermuter
+        if cond:
+            # conditional shuffled epochs: deterministic global class
+            # schedule + per-class on-device epoch streams (no permuter)
+            from mmdgan_tpu.train.step import class_schedule
 
-        n_batches = data_x.shape[0] // args.batch
-        permuter = EpochPermuter.single_device(data_x.shape[0], seed=0)
-        # resume-safe: jump straight to this epoch's layout
-        data_x, data_y = permuter.advance(done // n_batches, [data_x, data_y])
+            sched = class_schedule(args.num_class, args.steps, seed=0)
+        else:
+            from mmdgan_tpu.train.step import EpochPermuter
+
+            n_batches = data_x.shape[0] // args.batch
+            permuter = EpochPermuter.single_device(data_x.shape[0], seed=0)
+            # resume-safe: jump straight to this epoch's layout
+            data_x, data_y = permuter.advance(done // n_batches,
+                                              [data_x, data_y])
     start = time.time()
     start_step = done
     fid = fid0
@@ -450,7 +460,13 @@ def main():
             if permuter is not None:
                 data_x, data_y = permuter.advance(
                     done // n_batches, [data_x, data_y])
-            ts, rng_dev, m = step(ts, data_x, data_y, rng_dev, t_flag, t_flag)
+            if sched is not None:
+                ts, rng_dev, m = step(
+                    ts, data_x, data_y, rng_dev, t_flag, t_flag,
+                    jnp.asarray(sched[done:done + args.scan_k]))
+            else:
+                ts, rng_dev, m = step(
+                    ts, data_x, data_y, rng_dev, t_flag, t_flag)
         else:
             host = [next(data) for _ in range(args.scan_k)]
             batches = {"x": jnp.asarray(np.stack([b["x"] for b in host])),
