@@ -58,13 +58,14 @@ def _arch_and_img(name):
 
     from experiments.architectures import hd_architecture
 
-    return {
+    builder, img = {
         "cifar": (cifar_architecture, 32),
         "stl": (stl_architecture, 48),
         "celeba": (celeba_architecture, 64),
         "lsun": (lsun_architecture, 64),
         "hd128": (lambda: hd_architecture(128), 128),
-    }[name][0](), {"cifar": 32, "stl": 48, "celeba": 64, "lsun": 64}[name]
+    }[name]
+    return builder(), img
 
 
 def bench_arch(name, dp, bf16_moments=False):
@@ -105,8 +106,9 @@ def bench_arch(name, dp, bf16_moments=False):
     steps_per_sec = n_calls * SCAN_K / dur
     n_chips = dp.num_devices
     per_chip = steps_per_sec / max(n_chips, 1) if n_chips > 1 else steps_per_sec
+    tag = name if str(img) in name else f"{name}{img}"
     print(
-        f"[bench] {name}{img}: {steps_per_sec:.2f} steps/s total on "
+        f"[bench] {tag}: {steps_per_sec:.2f} steps/s total on "
         f"{n_chips} chip(s); loss_gen={final_loss:.4f} e_kxx={e_kxx:.4f}",
         file=sys.stderr,
     )
