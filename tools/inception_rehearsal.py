@@ -130,7 +130,9 @@ def main():
     metric = GenerativeModelMetric(
         classifier=FrozenGraphClassifier(args.pb, backend="jax"))
     host = jax.device_get(ts)
-    data = blob_batches(args.batch, size=32)
+    # blob_batches yields {"x": images, "y": labels} training batches;
+    # the metric protocol consumes bare image arrays
+    data = (b["x"] for b in blob_batches(args.batch, size=32))
 
     def gen_batches():
         i = 0
