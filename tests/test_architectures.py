@@ -47,7 +47,21 @@ def test_architecture_one_step(name, key):
     assert img.shape == (2, h, w, c)
 
 
-@pytest.mark.parametrize("size", [128, 256])
+def test_bench_arch_lookup_covers_every_choice():
+    """bench.py's arch/image-size lookup accepts every --arch choice —
+    regression for the hd128 KeyError that crashed `--arch all` after
+    the lsun line (the img dict had not been extended with the arch
+    dict)."""
+    import bench
+
+    for name, img in (("cifar", 32), ("stl", 48), ("celeba", 64),
+                      ("lsun", 64), ("hd128", 128)):
+        arch, got = bench._arch_and_img(name)
+        assert got == img, name
+        assert {"input", "code", "generator", "discriminator"} <= set(arch)
+
+
+@pytest.mark.parametrize("size", [128, 256, 512])
 def test_hd_architecture_builds_and_generates(size):
     """Beyond-reference 128/256 architectures: the builder's shape
     inference closes, the generator emits [B, size, size, 3], and the
