@@ -95,9 +95,10 @@ def build_arg_parser(dataset: str) -> argparse.ArgumentParser:
     p.add_argument("--micro-batches", type=int, default=1, metavar="M",
                    help="gradient accumulation: run each optimizer step "
                         "in M micro-batch chunks at 1/M activation "
-                        "memory with EXACT global-batch MMD semantics "
-                        "(docs/SCALING.md; ~2x forward FLOPs; not with "
-                        "penalty/scale losses or --device-dataset)")
+                        "memory with EXACT global-batch MMD semantics, "
+                        "incl. penalty/scale losses (docs/SCALING.md; "
+                        "~2x forward FLOPs; composes with "
+                        "--device-dataset — the 512-scale configuration)")
     p.add_argument("--compilation-cache", default="", metavar="DIR",
                    help="persistent XLA compilation cache directory: a "
                         "restarted process (resume / next chunk / serving "
@@ -223,10 +224,9 @@ def run_experiment(
     if args.micro_batches > 1:
         from mmdgan_tpu.train.step import build_grad_accum_step
 
-        assert not args.device_dataset, (
-            "--micro-batches applies to the host-fed step; the "
-            "HBM-resident dataset path already avoids activation "
-            "pressure via its own scan")
+        # host-fed path only; the HBM-resident path passes micro_batches
+        # through train_device_data (build_device_data_step composes the
+        # on-device sampler with the accumulated step — the 512² config)
         step_fn = build_grad_accum_step(
             model, opt_d, opt_g, args.micro_batches)
     else:
@@ -281,6 +281,7 @@ def run_experiment(
                 # (an epoch straddling one would lose the
                 # without-replacement guarantee)
                 sampling_seed=args.seed,
+                micro_batches=args.micro_batches,
             )
         else:
             ts = agent.train(

@@ -665,6 +665,7 @@ def build_device_data_step(
     class_counts=None,
     sampling: str = "uniform",
     sampler_seed: int = 0,
+    micro_batches: int = 1,
 ) -> Callable:
     """K train steps per launch with batches gathered ON DEVICE from an
     HBM-resident dataset — zero per-step host->device data transfer.
@@ -718,8 +719,17 @@ def build_device_data_step(
     ``sharded_same_class_tables(y, num_class, ndev)`` — one global class
     draw per step (class key not device-folded), per-device tables of
     local rows, still zero collectives.
+
+    ``micro_batches`` > 1 swaps the inner step for
+    ``build_grad_accum_step`` — the 512²-scale configuration: batches
+    too large to tunnel-feed come from the HBM-resident dataset, and
+    activations too large for a fused pass accumulate over M exact
+    micro-batch chunks (same signature, so the sampler composes
+    unchanged).
     """
-    step = build_train_step(model, opt_dis, opt_gen)
+    step = (build_train_step(model, opt_dis, opt_gen)
+            if int(micro_batches) == 1 else
+            build_grad_accum_step(model, opt_dis, opt_gen, micro_batches))
 
     assert sampling in ("uniform", "shuffled_epochs"), sampling
     scheduled = same_class and sampling == "shuffled_epochs"

@@ -536,6 +536,7 @@ class Agent:
         dp: Optional[DataParallel] = None,
         sampling: str = "uniform",
         sampling_seed: Optional[int] = None,
+        micro_batches: int = 1,
     ) -> TrainState:
         """Training loop over an HBM-resident dataset: ``data`` ({'x':
         [N,H,W,C] uint8 or f32, 'y': [N,1] or None}, e.g. from
@@ -673,13 +674,15 @@ class Agent:
             cache_key = (id(model), id(opt_dis), id(opt_gen), num_steps,
                          batch_size, sample_same_class, ndev, tkey,
                          mesh_key, sampling,
-                         sampling_seed if scheduled else None)
+                         sampling_seed if scheduled else None,
+                         micro_batches)
             if cache_key not in self._devdata_cache:
                 builder = build_device_data_step(
                     model, opt_dis, opt_gen, num_steps, batch_size,
                     same_class=sample_same_class,
                     class_table=table, class_counts=counts,
-                    sampling=sampling, sampler_seed=sampling_seed)
+                    sampling=sampling, sampler_seed=sampling_seed,
+                    micro_batches=micro_batches)
                 if ndev > 1:
                     builder = builder.with_mesh(dp.mesh, axis=dp.axis)
                 self._devdata_cache[cache_key] = jax.jit(builder)

@@ -873,3 +873,39 @@ def test_grad_accum_step_under_scan_fusion(tmp_path):
     assert int(jax.device_get(ts.step)) == 8
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree.leaves(jax.device_get(ts.params)))
+
+
+@pytest.mark.parametrize("sampling", ["uniform", "shuffled_epochs"])
+def test_device_data_step_micro_batches_equals_fused(sampling):
+    """build_device_data_step(micro_batches=M): the HBM-resident sampler
+    composed with gradient accumulation — the 512²-scale configuration
+    (batches gathered on device, activations processed in M chunks) —
+    reproduces the fused device-data step exactly on a BN-free arch
+    (the sampler sits outside the inner step, so the rng stream and
+    gathered batches are identical)."""
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    data = jnp.asarray(np.random.RandomState(0)
+                       .randint(0, 256, (64, 8, 8, 1), np.uint8))
+    t = jnp.asarray(True)
+
+    def run(micro):
+        ts = init_train_state(model, jax.random.PRNGKey(3), opt_d, opt_g)
+        fn = jax.jit(build_device_data_step(
+            model, opt_d, opt_g, num_steps=3, batch_size=16,
+            sampling=sampling, micro_batches=micro))
+        ts, _, m = fn(ts, data, None, jax.random.PRNGKey(5), t, t)
+        return np.asarray(m["loss_gen"]), jax.device_get(ts.params)
+
+    lg1, p1 = run(1)
+    lg2, p2 = run(2)
+    # accumulation reorders the gradient reductions; roundoff compounds
+    # over the 3 chained steps (single-step equality is locked at 1e-6
+    # by test_grad_accum_step_equals_fused)
+    np.testing.assert_allclose(lg2, lg1, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -204,14 +204,16 @@ def main():
     p.add_argument("--out", default="/tmp/quality_smoke")
     p.add_argument("--arch", default="cifar",
                    choices=["cifar", "stl", "celeba", "lsun", "hd128",
-                            "hd256"],
+                            "hd256", "hd512"],
                    help="cifar: 32x32 (my_test_cifar.py); stl: 48x48 "
                         "(my_test_stl.py); celeba/lsun: the 64x64 "
                         "10-layer archs (my_test_celebA.py / "
                         "my_test_lsun.py) — the conv-compute-bound "
-                        "regime; hd128/hd256: the beyond-reference "
+                        "regime; hd128/hd256/hd512: the beyond-reference "
                         "hd_architecture family (the reference caps at "
-                        "64x64)")
+                        "64x64; hd512 needs --micro-batches ~8 and "
+                        "--device-dataset — 201 MB f32 batches can't "
+                        "ride the tunnel)")
     p.add_argument("--sweep", action="store_true",
                    help="full loss-catalogue training sweep: every "
                         "dispatcher branch trains --steps scanned steps "
@@ -260,6 +262,12 @@ def main():
                         "default and the dtype every recorded run used) "
                         "is EMULATED and ~10x slower on the CPU backend "
                         "— pass float32 with --platform cpu")
+    p.add_argument("--micro-batches", type=int, default=1,
+                   help="gradient accumulation: process the batch in M "
+                        "exact micro-chunks (build_grad_accum_step) at "
+                        "1/M activation memory — required for hd512 on "
+                        "one chip; needs --device-dataset (the HBM-"
+                        "resident path; the host-feed path stays fused)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a JAX backend (default: env default — the "
                         "tunneled TPU here); cpu is a fallback when the "
@@ -308,6 +316,7 @@ def main():
                          "lsun": (lsun_architecture, 64),
                          "hd128": (lambda: hd_architecture(128), 128),
                          "hd256": (lambda: hd_architecture(256), 256),
+                         "hd512": (lambda: hd_architecture(512), 512),
                          }[args.arch]
         import jax.numpy as _jnp
 
@@ -355,7 +364,8 @@ def main():
                 f"< batch={args.batch})")
         step = jax.jit(build_device_data_step(
             model, opt_d, opt_g, num_steps=args.scan_k,
-            batch_size=args.batch, sampling=args.sampling, **sc_kwargs))
+            batch_size=args.batch, sampling=args.sampling,
+            micro_batches=args.micro_batches, **sc_kwargs))
         # the held-out "real" pool sees the same uint8 quantization the
         # training path decodes on device
         real_iter = iter(
@@ -363,6 +373,9 @@ def main():
              if host_ds.dtype == np.uint8 else host_ds[i:i + args.batch])
             for i in range(0, n, args.batch))
     else:
+        if args.micro_batches > 1:
+            raise SystemExit("--micro-batches needs --device-dataset "
+                             "(the HBM-resident path)")
         step = jax.jit(build_multi_step(model, opt_d, opt_g, args.scan_k))
         real_iter = None
 
