@@ -145,7 +145,8 @@ def _arch_64(act_k: float, w_nm: str):
 
 def hd_architecture(size: int = 128,
                     act_k: float = float(np.power(64.0, 0.1)),
-                    w_nm: str = "s", score_size: int = 16):
+                    w_nm: str = "s", score_size: int = 16,
+                    conditional: bool = False):
     """Beyond-reference scaled DCGAN for 128/256/512... images.
 
     The reference tops out at 64x64 (`_arch_64`); this extrapolates the
@@ -155,6 +156,13 @@ def hd_architecture(size: int = 128,
     power-of-two size >= 8. At these sizes ACTIVATIONS dominate memory:
     pair with ``build_grad_accum_step`` (--micro-batches) and/or
     ``shard_state(fsdp=True)`` (docs/SCALING.md).
+
+    ``conditional=True`` applies the same class-conditional transform as
+    ``cifar_architecture``: generator batch norms become cbn
+    (layer_func.py:914-963) and the score head becomes dck (per-class
+    dense scaling, layer_func.py:679-690) — the reference's conditional
+    machinery (my_sngan.py:111-149) composed with the extrapolated
+    family.
     """
     import math
 
@@ -187,6 +195,11 @@ def hd_architecture(size: int = 128,
                 "out_reshape": [top * 4 * 4]})
     dis.append({"name": f"l{ups + 2}_s", "out": score_size, "op": "d",
                 "act_k": act_k, "w_nm": w_nm})
+    if conditional:
+        for layer in gen:
+            if layer.get("act_nm") == "bn":
+                layer["act_nm"] = "cbn"
+        dis[-1]["op"] = "dck"
     return {
         "input": [(3, size, size)],
         "code": [(128, "linear")],

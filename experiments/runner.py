@@ -221,16 +221,20 @@ def run_experiment(
         target_step=args.chunks * args.steps_per_chunk,
         bf16_moments=args.bf16_moments)
     ts = init_train_state(model, jax.random.PRNGKey(args.seed), opt_d, opt_g)
-    if args.micro_batches > 1:
-        from mmdgan_tpu.train.step import build_grad_accum_step
+    # the HBM-resident path builds its own step inside train_device_data
+    # (build_device_data_step composes the on-device sampler with the
+    # accumulated step — the 512² config); only the host-fed/synthetic
+    # path needs a step_fn here
+    use_device_data = args.device_dataset and not args.synthetic_data
+    step_fn = None
+    if not use_device_data:
+        if args.micro_batches > 1:
+            from mmdgan_tpu.train.step import build_grad_accum_step
 
-        # host-fed path only; the HBM-resident path passes micro_batches
-        # through train_device_data (build_device_data_step composes the
-        # on-device sampler with the accumulated step — the 512² config)
-        step_fn = build_grad_accum_step(
-            model, opt_d, opt_g, args.micro_batches)
-    else:
-        step_fn = build_train_step(model, opt_d, opt_g)
+            step_fn = build_grad_accum_step(
+                model, opt_d, opt_g, args.micro_batches)
+        else:
+            step_fn = build_train_step(model, opt_d, opt_g)
     dp = DataParallel()
     print(f"Devices: {dp.num_devices}; Num instance: {num_instance}; "
           f"Num class: {args.num_class}; Batch: {args.batch_size}; "
@@ -245,7 +249,7 @@ def run_experiment(
             "--synthetic-data), or the flag would be silently ignored")
 
     device_data = None
-    if args.device_dataset and not args.synthetic_data:
+    if use_device_data:
         pipe = ReadTFRecords(
             filename, num_labels=0 if args.num_class < 2 else 1,
             batch_size=args.batch_size, device_decode=True,

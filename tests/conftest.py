@@ -53,6 +53,7 @@ _SLOW = {
     ("test_integration.py", "test_rep_gan_fits_gaussian"),
     ("test_metrics.py", "test_generative_model_metric_end_to_end"),
     ("test_metrics.py", "test_ref_stats_and_intra_fid"),
+    ("test_multihost.py", "test_four_process_training_matches_single_process"),
     ("test_multihost.py", "test_two_process_training_matches_single_process"),
     ("test_network.py", "test_conditional_generator"),
     ("test_network.py", "test_nonlocal_block_layer"),
@@ -90,6 +91,7 @@ _SLOW = {
     ("test_train.py", "test_conditional_cifar_architecture_trains"),
     ("test_train.py", "test_conditional_gradient_penalty_trains"),
     ("test_train.py", "test_every_loss_type_trains"),
+    ("test_train.py", "test_device_data_step_micro_batches_equals_fused_on_mesh"),
     ("test_train.py", "test_grad_accum_step_equals_fused"),
     ("test_train.py", "test_grad_accum_step_penalty_loss_data_parallel"),
     ("test_train.py", "test_gradient_penalty_loss"),

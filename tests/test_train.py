@@ -909,3 +909,43 @@ def test_device_data_step_micro_batches_equals_fused(sampling):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_device_data_step_micro_batches_equals_fused_on_mesh():
+    """The Agent.train_device_data composition at scale: device-data
+    sampler × micro-batch accumulation × with_mesh SPMD — the advertised
+    512² config is single-chip, but the facade accepts dp and
+    micro_batches together, so the mesh variant ships tested too
+    (ADVICE r4). Tolerances are atol-based: SPMD + accumulation both
+    reorder reductions and the losses sit near zero, where pure rtol is
+    meaningless."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mmdgan_tpu.parallel import make_mesh
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    model = SNGan(BN_FREE_ARCH, num_class=0, loss_type="rep",
+                  compute_dtype=jnp.float32)
+    opt_d, opt_g = multi_opt_config([1e-2, 1e-2], optimizer="sgd")
+    data_np = np.random.RandomState(0).randint(
+        0, 256, (64, 8, 8, 1), np.uint8)
+    t = jnp.asarray(True)
+    dp = DataParallel(make_mesh(jax.devices()[:8]))
+    data = jax.device_put(data_np, NamedSharding(dp.mesh, P("data")))
+
+    def run(micro):
+        ts = dp.replicate(
+            init_train_state(model, jax.random.PRNGKey(3), opt_d, opt_g))
+        builder = build_device_data_step(
+            model, opt_d, opt_g, num_steps=3, batch_size=16,
+            micro_batches=micro)
+        fn = jax.jit(builder.with_mesh(dp.mesh))
+        ts, _, m = fn(ts, data, None, jax.random.PRNGKey(5), t, t)
+        return np.asarray(m["loss_gen"]), jax.device_get(ts.params)
+
+    lg1, p1 = run(1)
+    lg2, p2 = run(2)
+    np.testing.assert_allclose(lg2, lg1, atol=5e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6)

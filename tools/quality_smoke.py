@@ -301,12 +301,23 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     cond = args.num_class >= 2
     if cond:
-        assert args.arch == "cifar" and args.device_dataset, (
-            "conditional mode needs --arch cifar and --device-dataset")
-        model = SNGan(cifar_architecture(conditional=True),
-                      num_class=args.num_class, loss_type=args.loss)
+        assert args.device_dataset, "conditional mode needs --device-dataset"
+        if args.arch == "cifar":
+            arch, size = cifar_architecture(conditional=True), 32
+        elif args.arch.startswith("hd"):
+            # conditional x hd: cbn/dck composed with the extrapolated
+            # family (VERDICT r4 item 5)
+            from experiments.architectures import hd_architecture
+
+            size = int(args.arch[2:])
+            arch = hd_architecture(size, conditional=True)
+        else:
+            raise SystemExit("conditional mode supports --arch cifar or "
+                             "the hd family")
+        model = SNGan(arch, num_class=args.num_class, loss_type=args.loss,
+                      compute_dtype=jnp.bfloat16
+                      if args.compute_dtype == "bfloat16" else jnp.float32)
         model.sample_same_class = True  # whole batch one class (reference)
-        size = 32
     else:
         from experiments.architectures import hd_architecture
 
