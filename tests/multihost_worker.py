@@ -1,9 +1,13 @@
-"""Shared logic + worker entrypoint for the REAL 2-process
-``jax.distributed`` CPU test (tests/test_multihost.py).
+"""Shared logic + worker entrypoint for the REAL multi-process
+``jax.distributed`` CPU tests (tests/test_multihost.py): 2 processes x 4
+virtual devices, and 4 processes x 2 virtual devices (VERDICT r4 item 4
+— rank-arithmetic bugs symmetric at nproc=2, e.g. shard-order mixups or
+process_index-keyed table layouts, surface first at nproc=4).
 
-Each worker process forces the CPU platform with 4 virtual devices,
-joins a 2-process gloo cluster (8 global devices), builds the global
-``data`` mesh, and trains a tiny SNGAN through the *nproc>1* branches:
+Each worker process forces the CPU platform with its share of virtual
+devices, joins the gloo cluster (8 global devices either way), builds
+the global ``data`` mesh, and trains a tiny SNGAN through the *nproc>1*
+branches:
 
 - ``DataParallel.replicate`` / ``shard_batch`` via
   ``jax.make_array_from_process_local_data`` (parallel/mesh.py:100-134),
@@ -70,13 +74,16 @@ def shard_pipeline(data_dir: str, num_shards: int, idx: int,
     return p
 
 
-def train_losses(dp, data_dir: str, steps: int = 4):
+def train_losses(dp, data_dir: str, steps: int = 4, n_shards: int = 2):
     """Train ``steps`` single steps; returns [[loss_gen, loss_dis], ...].
 
     Deterministic given the pipeline seed + PRNGKey(7), and identical
-    between one 8-device process and 2x4-device processes: the step has
+    between one 8-device process and nproc-process clusters: the step has
     global-batch semantics, SGD avoids Adam roundoff amplification
-    (CLAUDE.md), and the loss is row-permutation invariant."""
+    (CLAUDE.md), and the loss is row-permutation invariant. ``n_shards``
+    only affects the single-process ground truth: it assembles the global
+    batch from that many pipeline shards (matching the cluster's
+    round-robin record split, which depends on the process count)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -91,13 +98,14 @@ def train_losses(dp, data_dir: str, steps: int = 4):
     step = dp.compile_step(build_train_step(model, opt_d, opt_g))
     ts = dp.replicate(ts)
 
-    half = GLOBAL_BATCH // 2
     nproc = dp.process_count
     if nproc == 1:
-        # ground truth: read BOTH pipeline shards and assemble the global
+        # ground truth: read ALL pipeline shards and assemble the global
         # batch in mesh-device order (shard 0 rows first)
-        its = [iter(shard_pipeline(data_dir, 2, i, half).next_batch())
-               for i in range(2)]
+        per_shard = GLOBAL_BATCH // n_shards
+        its = [iter(shard_pipeline(data_dir, n_shards, i,
+                                   per_shard).next_batch())
+               for i in range(n_shards)]
 
         def batch_iter():
             while True:
@@ -105,7 +113,7 @@ def train_losses(dp, data_dir: str, steps: int = 4):
                 yield {"x": np.concatenate([b["x"] for b in bs]), "y": None}
     else:
         local = dp.local_batch_size(GLOBAL_BATCH)
-        assert local == half
+        assert local == GLOBAL_BATCH // nproc
         it = iter(shard_pipeline(data_dir, nproc, jax.process_index(),
                                  local).next_batch())
 
@@ -272,23 +280,27 @@ def same_class_facade_params(dp, out_dir: str, sampling: str):
 
 def worker_main():
     pid, port, data_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
-    # CPU with 4 virtual devices per process; the env var is set by the
-    # spawning test, the config knob here beats any pre-imported platform
+    nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    local_devices = 8 // nproc
+    # CPU with 8/nproc virtual devices per process; the env var is set by
+    # the spawning test, the config knob beats any pre-imported platform
     os.environ.setdefault(
-        "XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+        "XLA_FLAGS",
+        f"--xla_force_host_platform_device_count={local_devices}")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                               num_processes=2, process_id=pid)
-    assert jax.process_count() == 2
-    assert jax.local_device_count() == 4 and jax.device_count() == 8
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert jax.local_device_count() == local_devices
+    assert jax.device_count() == 8
 
     from mmdgan_tpu.parallel.mesh import DataParallel
 
     dp = DataParallel()
-    assert dp.process_count == 2
+    assert dp.process_count == nproc
     losses = train_losses(dp, data_dir)
     print("RESULT " + json.dumps(losses), flush=True)
     dd_losses = device_data_losses(dp)

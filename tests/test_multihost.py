@@ -1,8 +1,14 @@
-"""REAL multi-process data parallelism: 2 ``jax.distributed`` CPU
-processes (4 virtual devices each, gloo collectives) train the global-
+"""REAL multi-process data parallelism: ``jax.distributed`` CPU
+processes (gloo collectives, 8 global virtual devices) train the global-
 batch step through the nproc>1 branches of ``DataParallel`` and
 ``ReadTFRecords.shard()``, and the losses match the single-process
 8-device run exactly (VERDICT r2 item 2 / SURVEY §7 stage 5).
+
+Two cluster shapes: 2 processes x 4 devices, and 4 processes x 2 devices
+(VERDICT r4 item 4 — rank-arithmetic bugs that are symmetric at nproc=2,
+e.g. shard-index order mixups or ``process_index``-keyed table layouts,
+surface first at nproc=4; the same-class width-pinned process-local
+table contract is exercised at both widths).
 """
 
 import json
@@ -28,69 +34,77 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_training_matches_single_process(tmp_path):
-    make_dataset(str(tmp_path))
-
-    # ground truth on the in-process 8-device mesh (conftest)
-    from mmdgan_tpu.parallel import DataParallel
-
-    ref = train_losses(DataParallel(), str(tmp_path), steps=4)
-    ref_dd = device_data_losses(DataParallel())
-    ref_fsdp = fsdp_losses(DataParallel())
-    ref_sc = {s: same_class_facade_params(DataParallel(), str(tmp_path), s)
-              for s in ("uniform", "shuffled_epochs")}
-
+def _run_cluster(nproc: int, tmp_path) -> list:
+    """Spawn an nproc-process gloo cluster (8//nproc virtual CPU devices
+    each) over the worker and return the parsed per-process outputs."""
     port = _free_port()
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={8 // nproc}")
     env["JAX_PLATFORMS"] = "cpu"
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            [sys.executable, worker, str(i), str(port), str(tmp_path),
+             str(nproc)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
-        for i in range(2)
+        for i in range(nproc)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o}"
 
-    results, results_dd, results_sc = [], [], {}
+    parsed = []
     for o in outs:
-        lines = [l for l in o.splitlines() if l.startswith("RESULT ")]
-        assert lines, f"no RESULT line in worker output:\n{o}"
-        results.append(json.loads(lines[-1][len("RESULT "):]))
-        dd = [l for l in o.splitlines() if l.startswith("RESULT_DD ")]
-        assert dd, f"no RESULT_DD line in worker output:\n{o}"
-        results_dd.append(json.loads(dd[-1][len("RESULT_DD "):]))
-        fs = [l for l in o.splitlines() if l.startswith("RESULT_FSDP ")]
-        assert fs, f"no RESULT_FSDP line in worker output:\n{o}"
-        results_fsdp = json.loads(fs[-1][len("RESULT_FSDP "):])
-        for s in ("uniform", "shuffled_epochs"):
-            tag = f"RESULT_SC_{s} "
-            sc = [l for l in o.splitlines() if l.startswith(tag)]
-            assert sc, f"no {tag}line in worker output:\n{o}"
-            results_sc.setdefault(s, []).append(
-                json.loads(sc[-1][len(tag):]))
+        rec = {}
+        for tag in ("RESULT ", "RESULT_DD ", "RESULT_FSDP ",
+                    "RESULT_SC_uniform ", "RESULT_SC_shuffled_epochs "):
+            lines = [l for l in o.splitlines() if l.startswith(tag)]
+            assert lines, f"no {tag}line in worker output:\n{o}"
+            rec[tag.strip()] = json.loads(lines[-1][len(tag):])
+        parsed.append(rec)
+    return parsed
 
-    # both processes see the identical replicated global losses
-    np.testing.assert_array_equal(results[0], results[1])
+
+def _check_cluster(nproc: int, tmp_path):
+    make_dataset(str(tmp_path))
+
+    # ground truth on the in-process 8-device mesh (conftest); the
+    # pipeline ground truth assembles from nproc round-robin shards
+    from mmdgan_tpu.parallel import DataParallel
+
+    ref = train_losses(DataParallel(), str(tmp_path), steps=4,
+                       n_shards=nproc)
+    ref_dd = device_data_losses(DataParallel())
+    ref_fsdp = fsdp_losses(DataParallel())
+    ref_sc = {s: same_class_facade_params(DataParallel(), str(tmp_path), s)
+              for s in ("uniform", "shuffled_epochs")}
+
+    results = _run_cluster(nproc, tmp_path)
+
+    # every process sees the identical replicated global losses
+    for r in results[1:]:
+        np.testing.assert_array_equal(results[0]["RESULT"], r["RESULT"])
+        np.testing.assert_array_equal(results[0]["RESULT_DD"],
+                                      r["RESULT_DD"])
     # and they equal the single-process global-batch computation
-    np.testing.assert_allclose(results[0], ref, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(results[0]["RESULT"], ref, rtol=2e-4,
+                               atol=1e-5)
 
     # sharded HBM device-dataset path across the process boundary: the
     # per-device sampler draws the identical rows (same global device
     # order, same folded streams), so losses match the single-process
     # 8-device run too
-    np.testing.assert_array_equal(results_dd[0], results_dd[1])
-    np.testing.assert_allclose(results_dd[0], ref_dd, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(results[0]["RESULT_DD"], ref_dd,
+                               rtol=2e-4, atol=1e-5)
 
     # FSDP-sharded state across the process boundary: the step's global
     # semantics make the run equal the single-process fsdp run
-    np.testing.assert_allclose(results_fsdp, ref_fsdp, rtol=2e-4,
-                               atol=1e-5)
+    for r in results:
+        np.testing.assert_allclose(r["RESULT_FSDP"], ref_fsdp, rtol=2e-4,
+                                   atol=1e-5)
 
     # sample_same_class over the multi-process mesh THROUGH THE FACADE
     # (VERDICT r3 item 5b), uniform gather AND the shuffled_epochs class
@@ -98,8 +112,19 @@ def test_two_process_training_matches_single_process(tmp_path):
     # per-class-constant rows -> final params equal the single-process
     # facade run
     for s in ("uniform", "shuffled_epochs"):
-        for a, b in zip(results_sc[s][0], results_sc[s][1]):
-            np.testing.assert_array_equal(a, b, err_msg=f"sc {s} p0 vs p1")
-        for a, b in zip(results_sc[s][0], ref_sc[s]):
+        key = f"RESULT_SC_{s}"
+        for r in results[1:]:
+            for a, b in zip(results[0][key], r[key]):
+                np.testing.assert_array_equal(a, b,
+                                              err_msg=f"sc {s} p0 vs pN")
+        for a, b in zip(results[0][key], ref_sc[s]):
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-6,
                                        err_msg=f"sc {s} vs single-process")
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    _check_cluster(2, tmp_path)
+
+
+def test_four_process_training_matches_single_process(tmp_path):
+    _check_cluster(4, tmp_path)

@@ -29,13 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def collect_trace(arch, loss, batch, scan_k, calls):
+def collect_trace(arch, loss, batch, scan_k, calls, micro_batches=1):
     import jax
     import jax.numpy as jnp
 
     from experiments.architectures import (
-        celeba_architecture, cifar_architecture, lsun_architecture,
-        stl_architecture)
+        celeba_architecture, cifar_architecture, hd_architecture,
+        lsun_architecture, stl_architecture)
     from mmdgan_tpu.models import SNGan
     from mmdgan_tpu.train import init_train_state, multi_opt_config
     from mmdgan_tpu.train.step import build_multi_step
@@ -43,26 +43,51 @@ def collect_trace(arch, loss, batch, scan_k, calls):
     arch_fn, img = {
         "cifar": (cifar_architecture, 32), "stl": (stl_architecture, 48),
         "celeba": (celeba_architecture, 64), "lsun": (lsun_architecture, 64),
+        "hd128": (lambda: hd_architecture(128), 128),
+        "hd256": (lambda: hd_architecture(256), 256),
+        "hd512": (lambda: hd_architecture(512), 512),
     }[arch]
     model = SNGan(arch_fn(), num_class=0, loss_type=loss)
     opt_d, opt_g = multi_opt_config([5e-4, 2e-4])
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
-    step = jax.jit(build_multi_step(model, opt_d, opt_g, scan_k))
     rng = np.random.RandomState(0)
-    batches = {
-        "x": jnp.asarray(
-            rng.randn(scan_k, batch, img, img, 3).astype(np.float32).clip(-1, 1)),
-        "y": None,
-    }
     t = jnp.asarray(True)
+    if micro_batches > 1:
+        # the production hd512 configuration: HBM-resident dataset +
+        # on-device gather + exact micro-batch accumulation (fused b64
+        # does not fit one chip's activation memory at 512²)
+        from mmdgan_tpu.train.step import build_device_data_step
+
+        fn = jax.jit(build_device_data_step(
+            model, opt_d, opt_g, num_steps=scan_k, batch_size=batch,
+            micro_batches=micro_batches))
+        data = jnp.asarray(rng.randint(0, 256, (4 * batch, img, img, 3),
+                                       np.uint8))
+        key = jax.random.PRNGKey(1)
+
+        def step(ts):
+            nonlocal key
+            ts, key, m = fn(ts, data, None, key, t, t)
+            return ts, m
+    else:
+        fused = jax.jit(build_multi_step(model, opt_d, opt_g, scan_k))
+        batches = {
+            "x": jnp.asarray(rng.randn(scan_k, batch, img, img, 3)
+                             .astype(np.float32).clip(-1, 1)),
+            "y": None,
+        }
+
+        def step(ts):
+            return fused(ts, batches, t, t)
+
     for _ in range(3):  # compile + warm
-        ts, m = step(ts, batches, t, t)
+        ts, m = step(ts)
     float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
 
     trace_dir = tempfile.mkdtemp(prefix="mmdgan_profile_")
     with jax.profiler.trace(trace_dir):
         for _ in range(calls):
-            ts, m = step(ts, batches, t, t)
+            ts, m = step(ts)
         float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -102,20 +127,26 @@ def op_table(xplane_path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="cifar",
-                    choices=["cifar", "stl", "celeba", "lsun"])
+                    choices=["cifar", "stl", "celeba", "lsun", "hd128",
+                             "hd256", "hd512"])
     ap.add_argument("--loss", default="rep")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--scan-k", type=int, default=16)
     ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--micro-batches", type=int, default=1,
+                    help="profile the accumulated device-data step "
+                         "instead of the fused host-fed one (hd512 "
+                         "needs ~8)")
     args = ap.parse_args()
 
     import jax
 
     print(f"backend: {jax.default_backend()}; arch={args.arch} "
-          f"loss={args.loss} b={args.batch} K={args.scan_k}", flush=True)
+          f"loss={args.loss} b={args.batch} K={args.scan_k} "
+          f"micro={args.micro_batches}", flush=True)
     xplane = collect_trace(args.arch, args.loss, args.batch,
-                           args.scan_k, args.calls)
+                           args.scan_k, args.calls, args.micro_batches)
     rows = op_table(xplane)
     if not rows:
         print("no op rows parsed — inspect", xplane)
