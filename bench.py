@@ -40,10 +40,18 @@ from mmdgan_tpu.parallel import DataParallel
 BASELINES = {"cifar": 12.0, "stl": 12.0 * (32.0 / 48.0) ** 2,
              "celeba": 12.0 * (32.0 / 64.0) ** 2,
              "lsun": 12.0 * (32.0 / 64.0) ** 2,
-             "hd128": 12.0 * (32.0 / 128.0) ** 2}
-# vs_baseline provenance: the ratio is against an ESTIMATE, not a
-# measured TF1 run (the reference publishes no throughput numbers)
-BASELINE_NOTE = "assumed 12 steps/s TF1-GPU at 32x32, pixel-scaled (estimated, not measured)"
+             "hd128": 12.0 * (32.0 / 128.0) ** 2,
+             "hd256": 12.0 * (32.0 / 256.0) ** 2,
+             "hd512": 12.0 * (32.0 / 512.0) ** 2}
+# vs_baseline provenance: the TF1-GPU figure itself remains an estimate
+# (the reference publishes no throughput numbers and its TF1.8 GPU stack
+# cannot run here), but it is now ANCHORED by a same-host measurement:
+# tools/tf1_baseline.py times the reference's own sess.run train step on
+# this host's CPU vs ours on the identical config (see BASELINE.md,
+# "Measured software-stack anchor").
+BASELINE_NOTE = ("assumed 12 steps/s TF1-GPU at 32x32, pixel-scaled; "
+                 "anchored by the measured same-host CPU ratio "
+                 "(tools/tf1_baseline.py, BASELINE.md)")
 
 BATCH = 64
 SCAN_K = 16     # steps fused per launch (lax.scan) — amortizes dispatch
@@ -64,16 +72,27 @@ def _arch_and_img(name):
         "celeba": (celeba_architecture, 64),
         "lsun": (lsun_architecture, 64),
         "hd128": (lambda: hd_architecture(128), 128),
+        "hd256": (lambda: hd_architecture(256), 256),
+        "hd512": (lambda: hd_architecture(512), 512),
     }[name]
     return builder(), img
 
 
-def bench_arch(name, dp, bf16_moments=False):
+def bench_arch(name, dp, bf16_moments=False, loss="rep",
+               measure_steps=None):
     """Synthetic-feed throughput for one architecture; returns the metric
     dict. Timings force a host fetch of final metric values —
-    block_until_ready alone under-reports on tunneled backends."""
+    block_until_ready alone under-reports on tunneled backends.
+
+    ``loss`` selects the GANLoss branch: the default rep lines run in a
+    degenerate regime on this synthetic feed (cifar saturates e_kxx->1,
+    celeba/lsun collapse to 0 — near-zero gradients), so ``--arch all``
+    also emits rmb lines for cifar+celeba, whose bounded kernel keeps
+    the loss mid-band (docs/quality_evidence.md): the rep-vs-rmb delta
+    measures regime-(in)sensitivity of the throughput record."""
+    measure_steps = measure_steps or MEASURE_STEPS
     arch, img = _arch_and_img(name)
-    model = SNGan(arch, num_class=0, loss_type="rep")
+    model = SNGan(arch, num_class=0, loss_type=loss)
     opt_d, opt_g = multi_opt_config([5e-4, 2e-4], optimizer="adam",
                                     bf16_moments=bf16_moments)
     ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
@@ -93,7 +112,7 @@ def bench_arch(name, dp, bf16_moments=False):
         ts, m = step(ts, batches, t, t)
     float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
 
-    n_calls = MEASURE_STEPS // SCAN_K
+    n_calls = measure_steps // SCAN_K
     start = time.perf_counter()
     for _ in range(n_calls):
         ts, m = step(ts, batches, t, t)
@@ -108,16 +127,67 @@ def bench_arch(name, dp, bf16_moments=False):
     per_chip = steps_per_sec / max(n_chips, 1) if n_chips > 1 else steps_per_sec
     tag = name if str(img) in name else f"{name}{img}"
     print(
-        f"[bench] {tag}: {steps_per_sec:.2f} steps/s total on "
+        f"[bench] {tag} ({loss}): {steps_per_sec:.2f} steps/s total on "
         f"{n_chips} chip(s); loss_gen={final_loss:.4f} e_kxx={e_kxx:.4f}",
         file=sys.stderr,
     )
-    label = {"cifar": "cifar10", "hd128": "hd128"}.get(name, name + str(img))
+    label = {"cifar": "cifar10"}.get(name, None)
+    if label is None:
+        label = name if name.startswith("hd") else name + str(img)
     return {
-        "metric": f"{label}_sngan_rep_b64_train_steps_per_sec_per_chip",
+        "metric": f"{label}_sngan_{loss}_b64_train_steps_per_sec_per_chip",
         "value": round(per_chip, 3),
         "unit": "steps/sec",
         "vs_baseline": round(per_chip / BASELINES[name], 3),
+        "baseline": BASELINE_NOTE,
+        "loss_gen": round(final_loss, 4),
+        "e_kxx": round(e_kxx, 4),
+    }
+
+
+def bench_hd512(dp, loss="rep", micro_batches=8, rows=256,
+                measure_steps=128):
+    """512² throughput line. The fused b64 step does not fit one chip's
+    activation memory at 512², so this benches THE production 512²
+    configuration (docs/SCALING.md): HBM-resident uint8 dataset +
+    on-device batch gather + exact micro-batch accumulation
+    (build_device_data_step(micro_batches=8)). Short measure window —
+    the step is ~100x slower than cifar."""
+    from mmdgan_tpu.train.step import build_device_data_step
+
+    arch, img = _arch_and_img("hd512")
+    model = SNGan(arch, num_class=0, loss_type=loss)
+    opt_d, opt_g = multi_opt_config([5e-4, 2e-4])
+    ts = init_train_state(model, jax.random.PRNGKey(0), opt_d, opt_g)
+    fn = jax.jit(build_device_data_step(
+        model, opt_d, opt_g, num_steps=SCAN_K, batch_size=BATCH,
+        micro_batches=micro_batches))
+    data = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (rows, img, img, 3), np.uint8))
+    jax.block_until_ready(data)
+    rng = jax.random.PRNGKey(1)
+    t = jnp.asarray(True)
+    for _ in range(WARMUP_CALLS):
+        ts, rng, m = fn(ts, data, None, rng, t, t)
+    float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
+
+    n_calls = max(measure_steps // SCAN_K, 1)
+    start = time.perf_counter()
+    for _ in range(n_calls):
+        ts, rng, m = fn(ts, data, None, rng, t, t)
+    final_loss = float(np.asarray(jax.device_get(m["loss_gen"]))[-1])
+    dur = time.perf_counter() - start
+    e_kxx = float(np.asarray(jax.device_get(m["e_kxx"]))[-1])
+    steps_per_sec = n_calls * SCAN_K / dur
+    print(f"[bench] hd512 ({loss}, micro{micro_batches}): "
+          f"{steps_per_sec:.2f} steps/s; loss_gen={final_loss:.4f} "
+          f"e_kxx={e_kxx:.4f}", file=sys.stderr)
+    return {
+        "metric": f"hd512_sngan_{loss}_b64_micro{micro_batches}"
+                  "_train_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / BASELINES["hd512"], 3),
         "baseline": BASELINE_NOTE,
         "loss_gen": round(final_loss, 4),
         "e_kxx": round(e_kxx, 4),
@@ -210,9 +280,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="all",
                     choices=["all", "cifar", "stl", "celeba", "lsun",
-                             "hd128"])
+                             "hd128", "hd256", "hd512"])
+    ap.add_argument("--loss", default="rep", choices=["rep", "rmb"],
+                    help="loss branch for single-arch mode (--arch all "
+                         "emits rep AND rmb lines for cifar+celeba)")
     ap.add_argument("--skip-hbm", action="store_true",
                     help="skip the HBM-resident dataset metric in --arch all")
+    ap.add_argument("--skip-hd", action="store_true",
+                    help="skip the hd256/hd512 lines in --arch all "
+                         "(~6 min: big compiles + a slow measure window)")
     ap.add_argument("--bf16-moments", action="store_true",
                     help="bench with bfloat16 optimizer slots (the "
                          "--bf16-moments training flag); default off = "
@@ -232,18 +308,32 @@ def main():
         sys.exit(1)
 
     dp = DataParallel()
+    if args.arch == "hd512":
+        print(json.dumps(bench_hd512(dp, loss=args.loss)), flush=True)
+        return
     if args.arch != "all":
-        print(json.dumps(bench_arch(args.arch, dp, args.bf16_moments)), flush=True)
+        print(json.dumps(bench_arch(args.arch, dp, args.bf16_moments,
+                                    loss=args.loss)), flush=True)
         return
 
     flagship = bench_arch("cifar", dp, args.bf16_moments)
     print(json.dumps(flagship), flush=True)
+    # healthy-regime comparison line: rmb's bounded kernel keeps the loss
+    # mid-band where rep saturates on this feed (VERDICT r4 weak #1)
+    print(json.dumps(bench_arch("cifar", dp, args.bf16_moments,
+                                loss="rmb")), flush=True)
     if not args.skip_hbm:
         print(json.dumps(bench_hbm_dataset(dp)), flush=True)
         print(json.dumps(bench_hbm_dataset(dp, "shuffled_epochs")),
               flush=True)
     for name in ("stl", "celeba", "lsun", "hd128"):
         print(json.dumps(bench_arch(name, dp, args.bf16_moments)), flush=True)
+    print(json.dumps(bench_arch("celeba", dp, args.bf16_moments,
+                                loss="rmb")), flush=True)
+    if not args.skip_hd:
+        print(json.dumps(bench_arch("hd256", dp, args.bf16_moments)),
+              flush=True)
+        print(json.dumps(bench_hd512(dp)), flush=True)
     # repeat the flagship LAST for last-line parsers
     print(json.dumps(flagship), flush=True)
 

@@ -55,10 +55,12 @@ def test_bench_arch_lookup_covers_every_choice():
     import bench
 
     for name, img in (("cifar", 32), ("stl", 48), ("celeba", 64),
-                      ("lsun", 64), ("hd128", 128)):
+                      ("lsun", 64), ("hd128", 128), ("hd256", 256),
+                      ("hd512", 512)):
         arch, got = bench._arch_and_img(name)
         assert got == img, name
         assert {"input", "code", "generator", "discriminator"} <= set(arch)
+        assert name in bench.BASELINES, name
 
 
 @pytest.mark.parametrize("size", [128, 256, 512])
