@@ -250,6 +250,8 @@ def main():
         step = jax.jit(build_device_data_step(
             model, opt_d, opt_g, num_steps=args.scan_k,
             batch_size=args.batch))
+        print(f"block ({loss}, k={k:g}): compiling + running "
+              f"{len(todo)} cells ...", flush=True)
         for lr_d, lr_g in todo:
             t0 = time.time()
             ts = init_train_state(model, jax.random.PRNGKey(args.seed),
@@ -266,9 +268,17 @@ def main():
                 jax.random.PRNGKey(args.seed + 1),
                 zlib.crc32(cell_key(loss, k, lr_d, lr_g).encode()))
             s = 0
+            # progress heartbeat ~4x per cell (CPU cells run minutes-long
+            # on this one-core box; an empty log reads as a hang)
+            beat = max(args.scan_k, (args.steps // 4 // args.scan_k)
+                       * args.scan_k)
             while s < args.steps:
                 ts, rng, m = step(ts, data_x, None, rng, t_flag, t_flag)
                 s += args.scan_k
+                if s % beat == 0 and s < args.steps:
+                    print(f"  ... {cell_key(loss, k, lr_d, lr_g)}: "
+                          f"step {s}/{args.steps} "
+                          f"({time.time() - t0:.0f}s)", flush=True)
             fid, is_score = eval_cell(model, ts)
             mm = {kk: float(np.asarray(jax.device_get(v))[-1])
                   for kk, v in m.items() if not kk.startswith("hist/")}

@@ -199,10 +199,10 @@ def _bench_bwd(fn, args):
 
 
 def main():
+    global INNER
     print(f"# tc study: backend={jax.default_backend()} B={B} "
           f"INNER={INNER} dtype={COMPUTE_DTYPE.__name__}")
     rows = []
-    global INNER
     inner_default = INNER
     for name, h, cin, cout in SHAPES:
         # the hd-family image-resolution shapes are ~100x the work of the
