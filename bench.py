@@ -154,14 +154,16 @@ def bench_arch(name, dp, bf16_moments=False, loss="rep",
     }
 
 
-def bench_hd512(dp, loss="rep", micro_batches=8, rows=256,
+def bench_hd512(dp, loss="rep", micro_batches=1, rows=256,
                 measure_steps=128):
-    """512² throughput line. The fused b64 step does not fit one chip's
-    activation memory at 512², so this benches THE production 512²
-    configuration (docs/SCALING.md): HBM-resident uint8 dataset +
-    on-device batch gather + exact micro-batch accumulation
-    (build_device_data_step(micro_batches=8)). Short measure window —
-    the step is ~100x slower than cifar."""
+    """512² throughput line: HBM-resident uint8 dataset + on-device
+    batch gather (build_device_data_step). The FUSED b64 step fits one
+    chip after all (round-5 micro sweep, docs/SCALING.md: fused 7.3
+    steps/s vs 2.5 at micro8 — small micros re-read the 58.3 M params
+    from HBM per pass), so micro_batches=1 is the production
+    configuration; the micro8 line stays benched as the
+    exact-accumulation record for beyond-HBM regimes. Short measure
+    window — the step is ~60x slower than cifar."""
     from mmdgan_tpu.train.step import build_device_data_step
 
     arch, img = _arch_and_img("hd512")
@@ -298,6 +300,10 @@ def main():
     ap.add_argument("--skip-hd", action="store_true",
                     help="skip the hd256/hd512 lines in --arch all "
                          "(~6 min: big compiles + a slow measure window)")
+    ap.add_argument("--micro-batches", type=int, default=1,
+                    help="hd512 single-arch mode: accumulation micro "
+                         "count (1 = the fused production config; 8 = "
+                         "the exact-accumulation record)")
     ap.add_argument("--bf16-moments", action="store_true",
                     help="bench with bfloat16 optimizer slots (the "
                          "--bf16-moments training flag); default off = "
@@ -318,7 +324,9 @@ def main():
 
     dp = DataParallel()
     if args.arch == "hd512":
-        print(json.dumps(bench_hd512(dp, loss=args.loss)), flush=True)
+        print(json.dumps(bench_hd512(dp, loss=args.loss,
+                                     micro_batches=args.micro_batches)),
+              flush=True)
         return
     if args.arch != "all":
         print(json.dumps(bench_arch(args.arch, dp, args.bf16_moments,
@@ -346,6 +354,7 @@ def main():
         print(json.dumps(bench_arch("hd256", dp, args.bf16_moments)),
               flush=True)
         print(json.dumps(bench_hd512(dp)), flush=True)
+        print(json.dumps(bench_hd512(dp, micro_batches=8)), flush=True)
     # repeat the flagship LAST for last-line parsers
     print(json.dumps(flagship), flush=True)
 

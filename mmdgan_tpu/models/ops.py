@@ -47,6 +47,21 @@ from mmdgan_tpu.ops.spectral_norm import (
 Array = jnp.ndarray
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
+# Transposed-conv lowering choice (docs/conv_study.md "tc study"): the
+# exact ps3 reformulation of ``tc k=4/s2/SAME`` — ONE 3x3/s1 conv to
+# 4*Cout phase channels + depth-to-space — wins every ISOLATED-op
+# microbench on image-resolution inputs (H >= 64: up to x1.88 fwd+bwd
+# on hd512's 128^2 32->32), yet measured SLOWER end-to-end in the real
+# train step (hd512 -7.8%, hd256 -9.9%, hd128 wash; two A/B pairs each,
+# round 5): inside the full graph the depth-to-space transpose pins
+# layouts that XLA otherwise optimizes across the neighboring ops, and
+# the per-step kernel re-embedding + its VJP run inside the scan. The
+# measured end-to-end default is therefore DIRECT everywhere
+# (threshold = inf); the lowering stays available for A/B
+# (set to 64 to re-judge on new hardware/XLA versions — the gate is
+# trace-time static, flip it before building the jit).
+TC_PS3_MIN_SIZE = float("inf")
+
 # tf.layers.batch_normalization defaults (layer_func.py:960-966)
 BN_MOMENTUM = 0.99
 BN_EPS = 1e-3
@@ -352,12 +367,47 @@ class ParametricOp:
 
     def _conv_t(self, x, w, strides, padding, dilation):
         cd = self.compute_dtype
+        if (strides == 2 and dilation == 1
+                and tuple(w.shape[:2]) == (4, 4)
+                and str(padding).upper() == "SAME"
+                and x.ndim == 4 and x.shape[1] >= TC_PS3_MIN_SIZE):
+            return self._conv_t_ps3(x.astype(cd), w.astype(cd))
         return jax.lax.conv_transpose(
             x.astype(cd), w.astype(cd),
             strides=(strides, strides), padding=padding,
             rhs_dilation=(dilation, dilation) if dilation > 1 else None,
             dimension_numbers=_DIMSPEC,
         )
+
+    @staticmethod
+    def _conv_t_ps3(x, w):
+        """Exact periodic-shuffle lowering of ``tc k=4/s2/SAME``: output
+        phase (p, q) in {0,1}^2 is a 2x2/s1 conv of x with the
+        parity-matched kernel taps, so ONE 3x3/s1 conv to 4*Cout channels
+        (taps embedded at offsets (a+p, b+q), channel block (2p+q)*Cout)
+        followed by depth-to-space reproduces ``lax.conv_transpose``
+        (verified <2e-5 rel in f32 incl. both VJPs,
+        tests/test_network.py). Wins isolated-op microbenches on
+        image-resolution inputs (the direct emitter is output-lane-
+        starved there) but loses end-to-end in the full step — the
+        measured NO-GO and analysis live in docs/conv_study.md; the
+        ``TC_PS3_MIN_SIZE`` gate in ``_conv_t`` defaults it off."""
+        cout = w.shape[3]
+        blocks = []
+        for p in (0, 1):
+            for q in (0, 1):
+                k = jnp.zeros((3, 3) + tuple(w.shape[2:]), w.dtype)
+                for a in (0, 1):
+                    for b in (0, 1):
+                        k = k.at[a + p, b + q].set(w[2 * a + p, 2 * b + q])
+                blocks.append(k)
+        w3 = jnp.concatenate(blocks, axis=3)  # [3, 3, Cin, 4*Cout]
+        z = jax.lax.conv_general_dilated(
+            x, w3, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=_DIMSPEC)
+        n, h, wd, _ = z.shape
+        z = z.reshape(n, h, wd, 2, 2, cout)
+        return z.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, cout)
 
     def _dense(self, x, w):
         cd = self.compute_dtype

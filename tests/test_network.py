@@ -240,3 +240,65 @@ def test_align_corners_resize_matches_tf1():
                               align_corners=True))
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5,
                                    err_msg=f"{method} factor={factor}")
+
+
+def test_tc_ps3_lowering_exact():
+    """The ps3 periodic-shuffle lowering that _conv_t selects for
+    image-resolution tc (k=4/s2/SAME, H >= TC_PS3_MIN_SIZE,
+    docs/conv_study.md) must equal lax.conv_transpose exactly — both
+    the forward values and the (x, w) VJPs."""
+    from mmdgan_tpu.models import ops as mops
+
+    rng = np.random.RandomState(0)
+    for h, cin, cout in ((64, 64, 32), (64, 8, 3)):
+        x = jnp.asarray(rng.randn(2, h, h, cin), jnp.float32)
+        w = jnp.asarray(rng.randn(4, 4, cin, cout) * 0.1, jnp.float32)
+
+        def direct(x, w):
+            return jax.lax.conv_transpose(
+                x, w, strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        ref = direct(x, w)
+        got = mops.ParametricOp._conv_t_ps3(x, w)
+        assert got.shape == ref.shape == (2, 2 * h, 2 * h, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        ct = jax.random.normal(jax.random.PRNGKey(1), ref.shape)
+        gx_r, gw_r = jax.vjp(direct, x, w)[1](ct)
+        gx_p, gw_p = jax.vjp(mops.ParametricOp._conv_t_ps3, x, w)[1](ct)
+        np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_tc_ps3_gate_selection():
+    """_conv_t's ps3 path is gated by TC_PS3_MIN_SIZE (default inf =
+    direct everywhere, the measured end-to-end decision in
+    docs/conv_study.md); flipping the gate to 64 must route the same op
+    through the ps3 lowering and agree with the direct emitter."""
+    from mmdgan_tpu.models import ops as mops
+
+    assert mops.TC_PS3_MIN_SIZE == float("inf")
+    op = mops.ParametricOp(
+        {"op": "tc", "out": 32, "kernel": 4, "strides": 2,
+         "dilation": 1, "padding": "SAME"},
+        input_shape=(64, 64, 16), name="kernel")
+    params, state = op.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 16),
+                    jnp.float32)
+    y_direct, _ = op.apply(params, state, x, train=False)
+
+    old = mops.TC_PS3_MIN_SIZE
+    try:
+        mops.TC_PS3_MIN_SIZE = 64
+        y_ps3, _ = op.apply(params, state, x, train=False)
+    finally:
+        mops.TC_PS3_MIN_SIZE = old
+    # both paths agree (bf16 compute -> loose tolerance), and the
+    # lowering is exact in f32 per test_tc_ps3_lowering_exact
+    np.testing.assert_allclose(
+        np.asarray(y_ps3, np.float32), np.asarray(y_direct, np.float32),
+        rtol=0.05, atol=0.05)

@@ -53,9 +53,10 @@ def collect_trace(arch, loss, batch, scan_k, calls, micro_batches=1):
     rng = np.random.RandomState(0)
     t = jnp.asarray(True)
     if micro_batches > 1:
-        # the production hd512 configuration: HBM-resident dataset +
-        # on-device gather + exact micro-batch accumulation (fused b64
-        # does not fit one chip's activation memory at 512²)
+        # HBM-resident dataset + on-device gather + exact micro-batch
+        # accumulation. (Round 5: the fused b64 step FITS at 512² after
+        # all and is ~3x faster — micro>1 remains the beyond-HBM
+        # escape-hatch profile, docs/SCALING.md.)
         from mmdgan_tpu.train.step import build_device_data_step
 
         fn = jax.jit(build_device_data_step(
@@ -136,8 +137,9 @@ def main():
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--micro-batches", type=int, default=1,
                     help="profile the accumulated device-data step "
-                         "instead of the fused host-fed one (hd512 "
-                         "needs ~8)")
+                         "instead of the fused host-fed one (the "
+                         "beyond-HBM escape hatch; all archs incl. "
+                         "hd512 fit FUSED on the v5e)")
     args = ap.parse_args()
 
     import jax

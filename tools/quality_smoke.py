@@ -211,9 +211,10 @@ def main():
                         "my_test_lsun.py) — the conv-compute-bound "
                         "regime; hd128/hd256/hd512: the beyond-reference "
                         "hd_architecture family (the reference caps at "
-                        "64x64; hd512 needs --micro-batches ~8 and "
-                        "--device-dataset — 201 MB f32 batches can't "
-                        "ride the tunnel)")
+                        "64x64; hd512 trains FUSED on the v5e — pair "
+                        "it with --device-dataset since 201 MB f32 "
+                        "batches can't ride the tunnel; --micro-batches "
+                        "is the beyond-HBM escape hatch only)")
     p.add_argument("--sweep", action="store_true",
                    help="full loss-catalogue training sweep: every "
                         "dispatcher branch trains --steps scanned steps "
